@@ -1,0 +1,157 @@
+"""Detection losses — vectorized, fixed-shape, differentiable end-to-end.
+
+Parity targets:
+- MultiBoxLoss: /root/reference/lib/layers/modules/multibox_loss.py:10
+  (per-image CPU matching loop + gather-based mined CE). Here: matching
+  is vmapped (odtpu.ops.matching) and hard-negative mining keeps the
+  reference's double-argsort rank trick (multibox_loss.py:99-103) —
+  already fixed-shape — while the variable-length (pos+neg) gather
+  becomes a masked sum, which is numerically identical.
+- FocalLoss: lib/layers/modules/focal_loss.py:6 (vendored, unused there;
+  exported here as a working alternative).
+- RepulsionLoss (RepGT): lib/layers/modules/repulsion_loss.py:10. The
+  reference's smoothln adds term1 where term2 is intended (line 49); we
+  implement the *correct* SmoothLn from the Repulsion Loss paper.
+
+All losses return unnormalized sums plus the positive count so the train
+step can normalize by the *global* N under data parallelism (the
+reference normalizes by the per-process batch N, multibox_loss.py:114).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import decode, iog
+from ..ops.matching import match_batch, match_second_best
+
+Array = jax.Array
+
+
+class MultiBoxLossOutput(NamedTuple):
+    loss_loc_sum: Array   # scalar, unnormalized smooth-L1 over positives
+    loss_conf_sum: Array  # scalar, unnormalized mined CE
+    num_pos: Array        # scalar int, total positives in this shard
+
+
+def smooth_l1(x: Array) -> Array:
+    """Elementwise smooth-L1 (beta=1), summed by callers."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def multibox_targets(gt_boxes: Array, gt_labels: Array, priors: Array,
+                     variances, overlap_thresh: float):
+    """Batched matching: [B,G,4],[B,G] -> (loc_t [B,P,4], conf_t [B,P])."""
+    loc_t, conf_t, _ = match_batch(gt_boxes, gt_labels, priors, variances,
+                                   overlap_thresh)
+    return jax.lax.stop_gradient(loc_t), jax.lax.stop_gradient(conf_t)
+
+
+def multibox_loss(loc_pred: Array, conf_pred: Array, priors: Array,
+                  gt_boxes: Array, gt_labels: Array, variances,
+                  overlap_thresh: float = 0.5, neg_pos_ratio: int = 3,
+                  ) -> MultiBoxLossOutput:
+    """SSD weighted loss (loc smooth-L1 + mined softmax CE), unnormalized.
+
+    Args:
+        loc_pred:  [B, P, 4] raw loc predictions.
+        conf_pred: [B, P, C] raw class logits.
+        priors:    [P, 4] center-size priors.
+        gt_boxes:  [B, G, 4] point-form GT, padded.
+        gt_labels: [B, G] labels in [0, C-2]; < 0 marks padding.
+    """
+    B, P, C = conf_pred.shape
+    loc_t, conf_t = multibox_targets(gt_boxes, gt_labels, priors, variances,
+                                     overlap_thresh)
+
+    pos = conf_t > 0  # [B, P]
+    num_pos = pos.sum(axis=1)  # [B]
+
+    # ---- localization: smooth-L1 over positive priors -------------------
+    loc_err = smooth_l1(loc_pred.astype(jnp.float32) - loc_t)
+    loss_l = jnp.sum(jnp.where(pos[..., None], loc_err, 0.0))
+
+    # ---- per-prior softmax CE (= logsumexp - logit[target]) -------------
+    logits = conf_pred.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)  # [B, P]
+    picked = jnp.take_along_axis(logits, conf_t[..., None], axis=-1)[..., 0]
+    ce = lse - picked  # [B, P]
+
+    # ---- hard negative mining (double-argsort rank trick) ---------------
+    ce_neg = jnp.where(pos, 0.0, ce)
+    loss_idx = jnp.argsort(-ce_neg, axis=1, stable=True)
+    rank = jnp.argsort(loss_idx, axis=1)
+    num_neg = jnp.clip(neg_pos_ratio * num_pos, max=P - 1)  # [B]
+    neg = rank < num_neg[:, None]  # [B, P]
+
+    loss_c = jnp.sum(jnp.where(pos | neg, ce, 0.0))
+    return MultiBoxLossOutput(loss_l, loss_c, num_pos.sum())
+
+
+class MultiBoxLoss:
+    """Convenience wrapper with the reference's call contract:
+    loss = MultiBoxLoss(cfg)((loc, conf, priors), (boxes, labels))
+    returns (loss_l, loss_c) each already / N (total positives)."""
+
+    def __init__(self, cfg):
+        self.variance = tuple(cfg.MODEL.VARIANCE)
+        self.threshold = float(cfg.LOSS.OVERLAP_THRESH)
+        self.negpos_ratio = int(cfg.LOSS.NEG_POS_RATIO)
+
+    def __call__(self, predictions, targets):
+        loc, conf, priors = predictions
+        boxes, labels = targets
+        out = multibox_loss(loc, conf, priors, boxes, labels, self.variance,
+                            self.threshold, self.negpos_ratio)
+        n = jnp.maximum(out.num_pos, 1).astype(jnp.float32)
+        return out.loss_loc_sum / n, out.loss_conf_sum / n
+
+
+def focal_loss(conf_pred: Array, conf_t: Array, gamma: float = 2.0,
+               alpha: float = 0.25) -> Array:
+    """Focal loss over all priors (alternative to hard-negative mining).
+
+    conf_pred: [B, P, C] logits; conf_t: [B, P] int targets (0=background).
+    Returns the unnormalized sum.
+    """
+    logp = jax.nn.log_softmax(conf_pred.astype(jnp.float32), axis=-1)
+    logpt = jnp.take_along_axis(logp, conf_t[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    at = jnp.where(conf_t > 0, alpha, 1.0 - alpha)
+    return jnp.sum(-at * (1.0 - pt) ** gamma * logpt)
+
+
+def _smooth_ln(x: Array, sigma: float = 0.5) -> Array:
+    """SmoothLn penalty from the Repulsion Loss paper (CVPR'18 eq. 4):
+    -ln(1-x) for x <= sigma, else (x-sigma)/(1-sigma) - ln(1-sigma).
+    (The reference's version mistakenly doubles term1, repulsion_loss.py:49.)
+    """
+    x = jnp.clip(x, 0.0, 1.0 - 1e-6)
+    lo = -jnp.log1p(-x)
+    hi = (x - sigma) / (1.0 - sigma) - jnp.log1p(-sigma)
+    return jnp.where(x <= sigma, lo, hi)
+
+
+def repulsion_loss(loc_pred: Array, priors: Array, gt_boxes: Array,
+                   gt_labels: Array, variances, sigma: float = 0.5):
+    """RepGT term: push each positive prediction away from its second-best
+    (non-assigned) ground truth. Returns (sum, count) for global averaging.
+    Reference: repulsion_loss.py:10-50 via match_rep (box_utils.py:135).
+    """
+    def per_image(loc_p, boxes, labels):
+        from ..ops.matching import match  # local to avoid cycle
+        _, conf_t, best_idx = match(boxes, labels, priors, variances, 0.5)
+        second = match_second_best(loc_p, boxes, labels, priors, variances,
+                                   best_idx)
+        decoded = decode(loc_p, priors, variances)
+        overlap = iog(second, decoded)  # [P]
+        pos = conf_t > 0
+        pen = _smooth_ln(overlap, sigma)
+        return jnp.sum(jnp.where(pos, pen, 0.0)), pos.sum()
+
+    sums, counts = jax.vmap(per_image)(loc_pred, gt_boxes, gt_labels)
+    return sums.sum(), counts.sum()

@@ -1,0 +1,99 @@
+"""GT <-> prior matching, fully vectorized for XLA.
+
+Parity target: /root/reference/lib/layers/box_utils.py `match:92` /
+`match_rep:135`. The reference runs a per-image Python loop on CPU
+inside the train step (multibox_loss.py:69-74); here matching is a pure
+fixed-shape function vmapped over the batch, so it fuses into the
+compiled train step and never leaves the chip.
+
+Variable-length ground truth is padded to [G, 5] (boxes + label) with
+label < 0 marking padding; padded rows are excluded from the overlap
+matrix and can never be matched.
+
+Semantics reproduced exactly:
+  1. overlaps = IoU(truths, point_form(priors))               [G, P]
+  2. per-prior best GT (argmax over G), per-GT best prior (argmax over P)
+  3. force each GT's best prior to that GT (reference loop at
+     box_utils.py:126-127: later GT wins a collision) and pin its
+     overlap to 2.0 (index_fill_, line 123)
+  4. conf = label[best_gt] + 1; background (0) where overlap < threshold
+  5. loc target = encode(matched_gt, priors, variance)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import decode, encode, jaccard, point_form
+
+Array = jax.Array
+
+
+def match(truths: Array, labels: Array, priors: Array, variances,
+          threshold: float):
+    """Match one image's padded GT against all priors.
+
+    Args:
+        truths: [G, 4] point-form GT boxes (padding rows arbitrary).
+        labels: [G] int labels in [0, num_classes-1]; < 0 marks padding.
+        priors: [P, 4] center-size priors.
+        variances: (v_center, v_size).
+        threshold: IoU below which a prior is background.
+    Returns:
+        loc_t:  [P, 4] encoded regression targets.
+        conf_t: [P] int32; 0 = background, else label + 1.
+        best_truth_idx: [P] index of the matched GT row (for repulsion loss).
+    """
+    G = truths.shape[0]
+    P = priors.shape[0]
+    valid = labels >= 0  # [G]
+
+    overlaps = jaccard(truths, point_form(priors))  # [G, P]
+    overlaps = jnp.where(valid[:, None], overlaps, -1.0)
+
+    best_prior_idx = jnp.argmax(overlaps, axis=1)  # [G] best prior per GT
+    best_truth_overlap = jnp.max(overlaps, axis=0)  # [P]
+    best_truth_idx = jnp.argmax(overlaps, axis=0)  # [P]
+
+    # Forced bipartite step: prior best_prior_idx[j] must match GT j.
+    # Reference resolves collisions "last GT wins" via a sequential loop;
+    # equivalently: forced_gt[p] = max{ j valid : best_prior_idx[j] == p }.
+    gt_ids = jnp.arange(G, dtype=jnp.int32)
+    hits = (best_prior_idx[:, None] == jnp.arange(P)[None, :]) & valid[:, None]
+    forced_gt = jnp.max(jnp.where(hits, gt_ids[:, None], -1), axis=0)  # [P]
+    best_truth_idx = jnp.where(forced_gt >= 0, forced_gt, best_truth_idx)
+    best_truth_overlap = jnp.where(forced_gt >= 0, 2.0, best_truth_overlap)
+
+    matches = truths[best_truth_idx]  # [P, 4]
+    conf = labels[best_truth_idx].astype(jnp.int32) + 1
+    conf = jnp.where(best_truth_overlap < threshold, 0, conf)
+    loc = encode(matches, priors, variances)
+    return loc, conf, best_truth_idx
+
+
+def match_batch(truths: Array, labels: Array, priors: Array, variances,
+                threshold: float):
+    """vmap of :func:`match` over a [B, G, ...] batch."""
+    return jax.vmap(match, in_axes=(0, 0, None, None, None))(
+        truths, labels, priors, variances, threshold)
+
+
+def match_second_best(pred_loc: Array, truths: Array, labels: Array,
+                      priors: Array, variances, best_truth_idx: Array):
+    """Second-best GT per prior, measured on *decoded predictions*
+    (repulsion-loss RepGT target; reference `match_rep`, box_utils.py:185-199:
+    IoU(truths, decode(pred)) with each prior's assigned-GT row masked to -1,
+    then argmax over GT).
+
+    Returns [P, 4] point-form boxes of the second-best GT per prior.
+    """
+    valid = labels >= 0
+    decoded = decode(pred_loc, priors, variances)  # [P, 4]
+    overlaps = jaccard(truths, decoded)  # [G, P]
+    overlaps = jnp.where(valid[:, None], overlaps, -1.0)
+    G = truths.shape[0]
+    assigned = jax.nn.one_hot(best_truth_idx, G, dtype=bool).T  # [G, P]
+    overlaps = jnp.where(assigned, -1.0, overlaps)
+    second_idx = jnp.argmax(overlaps, axis=0)  # [P]
+    return truths[second_idx]
