@@ -103,6 +103,11 @@ def default_cfg() -> AttrDict:
     C.MODEL.VARIANCE = [0.1, 0.2]
     C.MODEL.CLIP = True
     C.MODEL.FLIP = True
+    # extras spec (reference format, ssd_v3.py:245); [] = built-in for the
+    # image size ('ssd300'/'ssd512')
+    C.MODEL.EXTRAS = []
+    # FSSD/FPN fusion width etc. live under the variant keys when needed
+    C.MODEL.BATCH_NORM = False
 
     # ---------------- Loss ----------------
     # reference hardcodes these at the MultiBoxLoss call site (train.py:99-100)
