@@ -1,0 +1,39 @@
+"""Dataset factory (parity: /root/reference/lib/datasets/__init__.py:12)."""
+
+from __future__ import annotations
+
+from .augment import SSDAugmentation
+from .coco import COCODetection
+from .loader import DetLoader, pad_batch_to
+from .voc import VOC_CLASSES, VOCDetection, parse_voc_xml
+
+__all__ = ["SSDAugmentation", "COCODetection", "DetLoader", "pad_batch_to",
+           "VOC_CLASSES", "VOCDetection", "parse_voc_xml",
+           "dataset_factory"]
+
+
+def dataset_factory(phase, cfg):
+    """phase 'train' -> shuffled loader with full augmentation, drop_last;
+    phase 'eval' -> ordered loader with resize+mean only."""
+    name = cfg.DATASET.NAME.upper()
+    train = phase == "train"
+    sets = cfg.DATASET.TRAIN_SETS if train else cfg.DATASET.TEST_SETS
+    if name.startswith("VOC"):
+        dataset = VOCDetection(cfg.DATASET.DATASET_DIR, sets)
+    elif name.startswith("COCO"):
+        dataset = COCODetection(cfg.DATASET.DATASET_DIR, sets)
+    else:
+        raise KeyError("unknown dataset {!r}".format(cfg.DATASET.NAME))
+    transform = SSDAugmentation(cfg.DATASET.IMAGE_SIZE,
+                                cfg.DATASET.PIXEL_MEANS,
+                                use_base=not train)
+    num_pics = 0 if train else int(cfg.DATASET.NUM_EVAL_PICS)
+    loader = DetLoader(
+        dataset, transform,
+        batch_size=(cfg.DATASET.TRAIN_BATCH_SIZE if train
+                    else cfg.DATASET.EVAL_BATCH_SIZE),
+        max_boxes=int(cfg.DATASET.MAX_BOXES),
+        shuffle=train, drop_last=train,
+        num_workers=int(cfg.DATASET.NUM_WORKERS),
+        num_pics=num_pics)
+    return loader

@@ -1,0 +1,208 @@
+"""SSD train/eval image augmentation — host-side numpy/cv2 pipeline.
+
+Parity target: /root/reference/lib/utils/augmentations.py
+(SSDAugmentation:407). Same op order and probabilities:
+
+  ConvertFromInts -> ToAbsoluteCoords -> PhotometricDistort ->
+  Expand(mean fill, ratio 1-4, p=.5) -> RandomSampleCrop (6 modes incl.
+  min-IoU {.1,.3,.7,.9}, 50 trials, keep boxes whose centers fall inside)
+  -> RandomMirror -> ToPercentCoords -> Resize -> SubtractMeans(BGR)
+
+Eval path = Resize + SubtractMeans only (use_base=True).
+
+Differences by design:
+- every random draw goes through an explicit np.random.Generator so
+  dataloader workers are reproducible and decorrelated (the reference
+  uses the global numpy RNG);
+- operations return new arrays rather than mutating in place.
+
+Kept reference quirks (documented):
+- the crop retry condition `overlap.min() < min_iou and max_iou <
+  overlap.max()` (augmentations.py:254) — the `and` makes the constraint
+  weaker than the SSD paper's, but training parity requires it;
+- crop rect uses un-rounded float w/h with int() truncation;
+- hue wraps at 360 on OpenCV full-range HSV floats.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+
+def _iou_one_to_many(boxes: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    """IoU of [N,4] boxes against one [4] rect (jaccard_numpy parity)."""
+    ix1 = np.maximum(boxes[:, 0], rect[0])
+    iy1 = np.maximum(boxes[:, 1], rect[1])
+    ix2 = np.minimum(boxes[:, 2], rect[2])
+    iy2 = np.minimum(boxes[:, 3], rect[3])
+    iw = np.clip(ix2 - ix1, 0, None)
+    ih = np.clip(iy2 - iy1, 0, None)
+    inter = iw * ih
+    area_a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    area_b = (rect[2] - rect[0]) * (rect[3] - rect[1])
+    return inter / (area_a + area_b - inter)
+
+
+# --------------------------------------------------------------------------
+# photometric ops (operate on float32 BGR HWC)
+# --------------------------------------------------------------------------
+
+def random_brightness(img, rng, delta=32.0):
+    if rng.integers(2):
+        img = img + rng.uniform(-delta, delta)
+    return img
+
+
+def random_contrast(img, rng, lower=0.5, upper=1.5):
+    if rng.integers(2):
+        img = img * rng.uniform(lower, upper)
+    return img
+
+
+def random_saturation(img_hsv, rng, lower=0.5, upper=1.5):
+    if rng.integers(2):
+        img_hsv[:, :, 1] *= rng.uniform(lower, upper)
+    return img_hsv
+
+
+def random_hue(img_hsv, rng, delta=18.0):
+    if rng.integers(2):
+        h = img_hsv[:, :, 0] + rng.uniform(-delta, delta)
+        h = np.where(h > 360.0, h - 360.0, h)
+        h = np.where(h < 0.0, h + 360.0, h)
+        img_hsv[:, :, 0] = h
+    return img_hsv
+
+
+_CHANNEL_PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+                  (2, 1, 0))
+
+
+def random_lighting_noise(img, rng):
+    if rng.integers(2):
+        perm = _CHANNEL_PERMS[rng.integers(len(_CHANNEL_PERMS))]
+        img = img[:, :, perm]
+    return img
+
+
+def photometric_distort(img, rng):
+    """Brightness, then contrast either before or after the HSV block,
+    then channel shuffle (reference PhotometricDistort:357)."""
+    img = random_brightness(img, rng)
+    contrast_first = bool(rng.integers(2))
+    if contrast_first:
+        img = random_contrast(img, rng)
+    hsv = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2HSV)
+    hsv = random_saturation(hsv, rng)
+    hsv = random_hue(hsv, rng)
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    if not contrast_first:
+        img = random_contrast(img, rng)
+    return random_lighting_noise(img, rng)
+
+
+# --------------------------------------------------------------------------
+# geometric ops (absolute pixel coords)
+# --------------------------------------------------------------------------
+
+def random_expand(img, boxes, rng, mean, max_ratio=4.0):
+    if rng.integers(2):
+        return img, boxes
+    h, w, c = img.shape
+    ratio = rng.uniform(1.0, max_ratio)
+    left = int(rng.uniform(0.0, w * ratio - w))
+    top = int(rng.uniform(0.0, h * ratio - h))
+    canvas = np.empty((int(h * ratio), int(w * ratio), c), dtype=img.dtype)
+    canvas[:, :, :] = mean
+    canvas[top:top + h, left:left + w] = img
+    boxes = boxes.copy()
+    boxes[:, 0::2] += left
+    boxes[:, 1::2] += top
+    return canvas, boxes
+
+
+# (min_iou, max_iou) sampling modes; None = whole image
+_CROP_MODES = (None, (0.1, None), (0.3, None), (0.7, None), (0.9, None),
+               (None, None))
+
+
+def random_sample_crop(img, boxes, labels, rng, trials=50):
+    mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
+    if mode is None or boxes is None or len(boxes) == 0:
+        return img, boxes, labels
+    min_iou = -np.inf if mode[0] is None else mode[0]
+    max_iou = np.inf if mode[1] is None else mode[1]
+    height, width, _ = img.shape
+    for _ in range(trials):
+        w = rng.uniform(0.3 * width, width)
+        h = rng.uniform(0.3 * height, height)
+        if h / w < 0.5 or h / w > 2:
+            continue
+        left = rng.uniform(0, width - w)
+        top = rng.uniform(0, height - h)
+        rect = np.array([int(left), int(top), int(left + w), int(top + h)])
+        overlap = _iou_one_to_many(boxes, rect)
+        # reference quirk: AND, not OR (augmentations.py:254)
+        if overlap.min() < min_iou and max_iou < overlap.max():
+            continue
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        inside = ((rect[0] < centers[:, 0]) & (rect[1] < centers[:, 1]) &
+                  (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
+        if not inside.any():
+            continue
+        cropped = img[rect[1]:rect[3], rect[0]:rect[2], :]
+        new_boxes = boxes[inside].copy()
+        new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
+        new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
+        return cropped, new_boxes, labels[inside]
+    return img, boxes, labels
+
+
+def random_mirror(img, boxes, rng):
+    if rng.integers(2):
+        _, width, _ = img.shape
+        img = img[:, ::-1]
+        boxes = boxes.copy()
+        # x1' = W - x2 ; x2' = W - x1  (reference slice trick, line 331)
+        boxes[:, [0, 2]] = width - boxes[:, [2, 0]]
+    return img, boxes
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+class SSDAugmentation:
+    """Callable (img_bgr_u8, boxes_norm, labels, rng) -> (img_f32, boxes,
+    labels). size is (h, w); mean is BGR. use_base=True gives the eval
+    transform (resize + mean-subtract only)."""
+
+    def __init__(self, size=(300, 300), mean=(104, 117, 123),
+                 use_base: bool = False):
+        self.size = tuple(size)
+        self.mean = np.array(mean, dtype=np.float32)
+        self.use_base = use_base
+
+    def base(self, img):
+        img = cv2.resize(img, (self.size[1], self.size[0])).astype(np.float32)
+        return img - self.mean
+
+    def __call__(self, img, boxes=None, labels=None, rng=None):
+        if self.use_base or boxes is None or len(boxes) == 0:
+            return self.base(img), boxes, labels
+        rng = np.random.default_rng() if rng is None else rng
+        h, w, _ = img.shape
+        img = img.astype(np.float32)
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, 0::2] *= w  # to absolute
+        boxes[:, 1::2] *= h
+        img = photometric_distort(img, rng)
+        img, boxes = random_expand(img, boxes, rng, self.mean)
+        img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
+        img, boxes = random_mirror(img, boxes, rng)
+        h, w, _ = img.shape
+        boxes[:, 0::2] /= w  # to percent
+        boxes[:, 1::2] /= h
+        img = cv2.resize(img, (self.size[1], self.size[0]))
+        return img - self.mean, boxes, labels

@@ -1,0 +1,138 @@
+"""Batched, prefetching data loader producing fixed-shape device batches.
+
+Replaces the reference's torch DataLoader + detection_collate
+(/root/reference/lib/datasets/__init__.py:12-30, det_dataset.py:63).
+TPU-first differences:
+
+- fixed shapes: variable-length targets are padded to [MAX_BOXES, 5]
+  with label -1 (the vectorized matcher masks them) instead of a Python
+  list of ragged tensors — a ragged list can't cross the jit boundary;
+- worker *threads*, not processes: cv2's imread/resize/cvtColor release
+  the GIL, and thread workers avoid the reference's documented fork
+  deadlock (lib/datasets/config.py:2-3);
+- images come out HWC RGB float32 NHWC-batched, mean already subtracted
+  in BGR order then channel-flipped (det_dataset.py:49 contract).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class DetLoader:
+    """Iterable over dict batches:
+        images [B,H,W,3] f32 (RGB, mean-subtracted)
+        boxes  [B,M,4] f32 normalized point-form
+        labels [B,M] int32 (-1 = pad)
+        extra  [B,3] f32 original (h, w, c)
+        ids    list[str] length B
+    """
+
+    def __init__(self, dataset, transform, batch_size, max_boxes=60,
+                 shuffle=False, drop_last=False, num_workers=4, seed=0,
+                 num_pics=0):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = int(batch_size)
+        self.max_boxes = int(max_boxes)
+        self.shuffle = bool(shuffle)
+        self.drop_last = bool(drop_last)
+        self.num_workers = max(1, int(num_workers))
+        self.seed = seed
+        self.epoch = 0
+        n = len(dataset)
+        self.num_items = min(n, num_pics) if num_pics else n
+
+    def __len__(self):
+        n = self.num_items
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _item(self, index, rng):
+        rec = self.dataset[index]
+        img, boxes, labels = self.transform(
+            rec["image"], rec["boxes"], rec["labels"], rng=rng)
+        m = self.max_boxes
+        pb = np.zeros((m, 4), np.float32)
+        pl = np.full((m,), -1, np.int32)
+        if boxes is not None and len(boxes) > 0:
+            k = min(len(boxes), m)
+            pb[:k] = boxes[:k]
+            pl[:k] = labels[:k]
+        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32)  # ->RGB
+        return img, pb, pl, rec["extra"], rec["img_id"]
+
+    def _batches(self):
+        order = np.arange(self.num_items)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            chunk = order[i:i + bs]
+            if len(chunk) < bs and self.drop_last:
+                return
+            yield chunk
+
+    def __iter__(self):
+        self.epoch += 1
+        work: "queue.Queue" = queue.Queue()
+        done: dict = {}
+        lock = threading.Lock()
+        cv = threading.Condition(lock)
+        batches = list(self._batches())
+        for bi, chunk in enumerate(batches):
+            work.put((bi, chunk))
+        stop = threading.Event()
+
+        def worker(wid):
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, wid))
+            while not stop.is_set():
+                try:
+                    bi, chunk = work.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self._item(int(j), rng) for j in chunk]
+                imgs = np.stack([it[0] for it in items])
+                boxes = np.stack([it[1] for it in items])
+                labels = np.stack([it[2] for it in items])
+                extras = np.stack([it[3] for it in items])
+                ids = [it[4] for it in items]
+                batch = {"images": imgs, "boxes": boxes, "labels": labels,
+                         "extra": extras, "ids": ids}
+                with cv:
+                    done[bi] = batch
+                    cv.notify_all()
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(len(batches)):
+                with cv:
+                    while bi not in done:
+                        cv.wait(timeout=60.0)
+                yield done.pop(bi)
+        finally:
+            stop.set()
+
+
+def pad_batch_to(batch, batch_size):
+    """Pad a short final batch up to batch_size by repeating row 0, and
+    return (batch, valid_count) — keeps shapes static across steps."""
+    n = batch["images"].shape[0]
+    if n == batch_size:
+        return batch, n
+    reps = batch_size - n
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            out[k] = list(v) + [v[0]] * reps
+        else:
+            pad = np.repeat(v[:1], reps, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+    return out, n

@@ -1,0 +1,87 @@
+"""Device mesh + sharding layout.
+
+The reference's entire parallelism story is one line of
+torch.nn.DataParallel (train.py:62). The TPU-native equivalent is a
+jax.sharding.Mesh with a 'data' axis (batch-sharded inputs, replicated
+params, XLA-inserted gradient all-reduce over ICI) plus an optional
+'model' axis for tensor parallelism: wide conv kernels are sharded over
+output channels and GSPMD propagates the sharding through the network,
+turning the channel-contracting convs into partial-sum + reduce —
+no hand-written collectives anywhere, matching the reference's
+"zero comms code" shape (SURVEY §2.6).
+
+Multi-host: call jax.distributed.initialize() before make_mesh and the
+same code spans slices (DCN between hosts, ICI within).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None, data=None, model=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 (default) consumes all devices
+    left after the model axis."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if cfg is not None:
+        model = cfg.TPU.MESH_MODEL if model is None else model
+        data = cfg.TPU.MESH_DATA if data is None else data
+    model = 1 if model in (None, -1) else int(model)
+    n = len(devices)
+    if data in (None, -1):
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, "
+                         f"have {n}")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs: leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# minimum output-channel width worth sharding over the model axis
+_TP_MIN_CHANNELS = 512
+
+
+def param_shardings(params, mesh: Mesh):
+    """PyTree of NamedShardings for model params.
+
+    Conv kernels (HWIO) with wide output channels are sharded over
+    'model'; their biases follow; everything else is replicated. With
+    MESH_MODEL=1 this degrades to fully-replicated data parallelism.
+    """
+    tp = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if tp > 1 and hasattr(leaf, "shape") and leaf.ndim >= 1:
+            out_ch = leaf.shape[-1]
+            if out_ch >= _TP_MIN_CHANNELS and out_ch % tp == 0:
+                if leaf.ndim == 4:  # conv kernel HWIO
+                    return NamedSharding(mesh, P(None, None, None, "model"))
+                if leaf.ndim == 1:  # bias / scale
+                    return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param tree onto the mesh according to param_shardings."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (leading batch dim) onto the data axis."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), batch)

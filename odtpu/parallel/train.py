@@ -1,0 +1,168 @@
+"""Training step: optimizer, LR schedule, jitted SPMD update.
+
+Parity targets:
+- SGD lr 1e-3 / momentum 0.9 / weight-decay 5e-4, step decay x0.1 at
+  (80k, 100k) (reference lib/utils/config.py:148-172, train.py:96-98,
+  216-224). Weight decay is applied to the gradient before the momentum
+  buffer, matching torch.optim.SGD.
+- loss = (loss_conf + LOC_WEIGHT * loss_loc) / N with N = total positive
+  matches (multibox_loss.py:112-116) — here N is the *global* positive
+  count: under a sharded batch the sums inside jit are global, so the
+  normalization is exact regardless of device count (DataParallel
+  averaged per-GPU losses instead).
+
+The step is one jit over the mesh: batch sharded on 'data', params laid
+out by odtpu.parallel.mesh.param_shardings; XLA inserts the gradient
+all-reduce (ICI) and any tensor-parallel collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..layers.losses import multibox_loss
+from .mesh import batch_sharding, param_shardings, replicated
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # {} for BN-free models
+
+
+def lr_schedule(cfg):
+    """Step decay (+optional linear warmup)."""
+    opt = cfg.TRAIN.OPTIMIZER
+    sch = cfg.TRAIN.LR_SCHEDULER
+    base = float(opt.LR)
+    boundaries = {int(s): float(sch.GAMMA) for s in sch.STEPS
+                  if int(s) < int(cfg.TRAIN.MAX_ITER)}
+    decay = optax.piecewise_constant_schedule(base, boundaries)
+    warm = int(sch.WARMUP_ITERS)
+    if warm > 0:
+        warmup = optax.linear_schedule(base * 0.1, base, warm)
+        return optax.join_schedules([warmup, decay], [warm])
+    return decay
+
+
+def make_optimizer(cfg):
+    opt = cfg.TRAIN.OPTIMIZER
+    sched = lr_schedule(cfg)
+    name = opt.OPTIMIZER.lower()
+    if name == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(float(opt.WEIGHT_DECAY)),
+            optax.sgd(sched, momentum=float(opt.MOMENTUM)),
+        )
+    elif name == "adam":
+        tx = optax.chain(
+            optax.add_decayed_weights(float(opt.WEIGHT_DECAY)),
+            optax.adam(sched),
+        )
+    else:
+        raise KeyError(f"unknown optimizer {name!r}")
+    return tx, sched
+
+
+def create_train_state(model, cfg, rng=None, mesh=None) -> tuple:
+    """Init variables + optimizer state; placed on the mesh if given."""
+    from ..models import init_model
+    variables = init_model(model, cfg, rng=rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, _ = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state, batch_stats=batch_stats)
+    if mesh is not None:
+        # the TP layout rule is purely shape-based (mesh.param_shardings),
+        # so one uniform tree_map covers params, momentum buffers and
+        # batch stats consistently — buffers mirror their param's layout.
+        sh = param_shardings(state, mesh)
+        state = jax.tree.map(jax.device_put, state, sh)
+    return state, tx
+
+
+def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
+    """Returns step(state, images, boxes, labels) -> (state, metrics)."""
+    variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
+    overlap = float(cfg.LOSS.OVERLAP_THRESH)
+    negpos = int(cfg.LOSS.NEG_POS_RATIO)
+    loc_w = float(cfg.LOSS.LOC_WEIGHT)
+    has_bn = bool(cfg.MODEL.BATCH_NORM)
+    use_remat = bool(cfg.TPU.REMAT)
+
+    def apply_model(params, batch_stats, images, train):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            out, mut = model.apply(variables, images, phase="train",
+                                   train=train, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        out = model.apply(variables, images, phase="train", train=train)
+        return out, batch_stats
+
+    if use_remat:
+        apply_model = jax.checkpoint(apply_model, static_argnums=(3,))
+
+    def loss_fn(params, batch_stats, images, boxes, labels):
+        (loc, conf), new_stats = apply_model(params, batch_stats, images,
+                                             True)
+        out = multibox_loss(loc, conf, priors, boxes, labels, variances,
+                            overlap, negpos)
+        n = jnp.maximum(out.num_pos, 1).astype(jnp.float32)
+        loss_l = out.loss_loc_sum / n
+        loss_c = out.loss_conf_sum / n
+        loss = loc_w * loss_l + loss_c
+        metrics = {"loss": loss, "loss_loc": loss_l, "loss_conf": loss_c,
+                   "num_pos": out.num_pos}
+        return loss, (metrics, new_stats)
+
+    def step(state: TrainState, images, boxes, labels):
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, boxes, labels)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt, batch_stats=new_stats)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    b_sh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(None, b_sh, b_sh, b_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, priors, cfg, mesh=None):
+    """Jitted eval forward + on-chip decode/NMS -> [B, C, top_k, 5]."""
+    from ..ops.detect import detect_out
+    variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
+    top_k = int(cfg.EVAL.TOP_K)
+    conf_thresh = float(cfg.EVAL.CONF_THRESH)
+    nms_thresh = float(cfg.EVAL.NMS_THRESH)
+    has_bn = bool(cfg.MODEL.BATCH_NORM)
+
+    def step(params, batch_stats, images):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        loc, conf = model.apply(variables, images, phase="eval", train=False)
+        return detect_out(loc, conf, priors, variances, conf_thresh,
+                          nms_thresh, top_k)
+
+    if mesh is None:
+        return jax.jit(step)
+    b_sh = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, None, b_sh),
+                   out_shardings=b_sh)
