@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""End-to-end SSD300 inference benchmark (preprocess + forward + NMS).
+
+Prints ONE JSON line:
+  {"metric": "ssd300_images_per_sec", "value": N, "unit": "img/s",
+   "vs_baseline": N / 46.0}
+
+Baseline 46 img/s is the published SSD300 FPS on Titan X (reference
+README.md:14; BASELINE.md). Pipeline per batch, matching the reference
+eval path end to end:
+  host: cv2 resize to 300x300 (uint8 BGR, threaded)
+  -> H2D (uint8 — 4x fewer tunnel bytes than f32)
+  -> device: f32 cast + BGR mean subtract + RGB flip (fused into the jit;
+     identical math to the reference's SubtractMeans + channel flip,
+     augmentations.py:56, det_dataset.py:49)
+  -> VGG16-SSD300 forward (bf16 MXU) + decode + per-class NMS
+  -> D2H: compact [B, 200, 6] detections.
+
+Execution is deliberately serial/blocking per stage: this TPU is reached
+through an experimental tunnel (axon) whose transfer path degrades or
+wedges under deep async queues and closure-captured jit constants (both
+measured in this environment). Priors/mean ride through jit as
+arguments.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import cv2
+    from odtpu.models import init_model, model_factory
+    from odtpu.ops.detect import detect_out_compact
+    from odtpu.utils.config import default_cfg
+
+    cfg = default_cfg()
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+    model, priors, _ = model_factory("eval", cfg)
+    variables = init_model(model, cfg)
+    variances = tuple(cfg.MODEL.VARIANCE)
+    device = jax.devices()[0]
+    priors = jax.device_put(jnp.asarray(priors), device)
+    mean_dev = jax.device_put(
+        np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32), device)
+
+    B = 32 if on_tpu else 4
+    WARMUP, ITERS = 3, (10 if on_tpu else 2)
+
+    def infer_fn(variables, priors, x_u8, mean):
+        x = x_u8.astype(jnp.float32) - mean  # BGR means
+        x = x[..., ::-1]  # BGR -> RGB
+        loc, conf = model.apply(variables, x, phase="eval", train=False)
+        return detect_out_compact(
+            loc, conf, priors, variances,
+            conf_thresh=float(cfg.EVAL.CONF_THRESH),
+            nms_thresh=float(cfg.EVAL.NMS_THRESH),
+            top_k=int(cfg.EVAL.TOP_K))
+
+    infer = jax.jit(infer_fn)
+
+    rng = np.random.RandomState(0)
+    raw = [rng.randint(0, 255, (375, 500, 3), dtype=np.uint8)
+           for _ in range(B)]
+    pool = ThreadPoolExecutor(8)
+
+    def make_batch():
+        return np.stack(list(pool.map(
+            lambda im: cv2.resize(im, (300, 300)), raw)))
+
+    # compile + flush the tunnel's first-call pathologies
+    for _ in range(WARMUP):
+        out = infer(variables, priors,
+                    jax.device_put(make_batch(), device), mean_dev)
+        np.asarray(out)
+
+    lat = []
+    t0 = time.time()
+    for _ in range(ITERS):
+        t1 = time.time()
+        xb = make_batch()
+        xd = jax.device_put(xb, device)
+        out = infer(variables, priors, xd, mean_dev)
+        np.asarray(out)  # full sync incl. D2H of compact detections
+        lat.append(time.time() - t1)
+    total = time.time() - t0
+    ips = ITERS * B / total
+    p50_ms = float(np.percentile(lat, 50) * 1000 / B)
+
+    print(json.dumps({
+        "metric": "ssd300_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / 46.0, 2),
+        "extra": {"batch": B, "p50_ms_per_image": round(p50_ms, 3),
+                  "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

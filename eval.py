@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluation entry point (parity: /root/reference/eval.py).
+
+Loads a checkpoint, runs the batched eval pipeline (forward + on-chip
+decode/NMS) over the test set, prints per-class AP and mAP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="odtpu evaluation")
+    p.add_argument("--cfg_name", default="ssd_vgg16_voc")
+    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg", default="")
+    p.add_argument("--ckpt", required=False, default="",
+                   help="checkpoint dir (weights/<group>/<name>/ckpt by "
+                        "default)")
+    p.add_argument("--output_dir", default="eval_out")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from odtpu.data import dataset_factory
+    from odtpu.eval import eval_solver_factory
+    from odtpu.models import model_factory
+    from odtpu.parallel import (create_train_state, make_eval_step,
+                                make_mesh)
+    from odtpu.utils.checkpoint import Checkpointer
+    from odtpu.utils.config import load_cfg
+
+    cfg_path = args.cfg or osp.join("cfgs", args.job_group,
+                                    args.cfg_name + ".yml")
+    cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
+    mesh = make_mesh(cfg)
+
+    loader = dataset_factory("eval", cfg)
+    solver = eval_solver_factory(loader, cfg, args.output_dir)
+    model, priors, _ = model_factory("eval", cfg)
+    state, _ = create_train_state(model, cfg, mesh=mesh)
+
+    ckpt_dir = args.ckpt or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
+                                     args.job_group, args.cfg_name, "ckpt")
+    if osp.isdir(ckpt_dir):
+        state = Checkpointer(ckpt_dir).restore(state)
+        print("restored step", int(np.asarray(state.step)))
+    else:
+        print("WARNING: no checkpoint at {}; evaluating random init"
+              .format(ckpt_dir))
+
+    eval_fn = make_eval_step(model, priors, cfg, mesh=mesh)
+    res, maps = solver.validate(eval_fn, state.params, state.batch_stats)
+    if isinstance(res, list) and res and isinstance(res[0], tuple):
+        for cls, ap, _, _ in res:
+            print("AP for {} = {:.4f}".format(cls, ap))
+    print("mAP:", maps)
+    print("timing:", solver.last_timing)
+
+
+if __name__ == "__main__":
+    main()

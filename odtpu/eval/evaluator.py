@@ -21,6 +21,7 @@ from __future__ import annotations
 import os.path as osp
 import time
 
+import jax
 import numpy as np
 
 from ..data.loader import pad_batch_to
@@ -46,8 +47,11 @@ class EvalBase:
         raise NotImplementedError
 
     def validate(self, eval_step, params, batch_stats=None, tb_writer=None):
-        """eval_step(params, batch_stats, images[B,H,W,3]) ->
-        detections [B, C, top_k, 5] (score, x1, y1, x2, y2 normalized)."""
+        """eval_step(params, batch_stats, images[B,H,W,3]) -> either the
+        dense contract tensor [B, C, top_k, 5] or the compact cross-class
+        form [B, N, 6] (score, x1, y1, x2, y2, cls) — normalized coords.
+        Compact keeps the device->host copy tiny (the tunneled-TPU D2H
+        path is orders of magnitude slower than compute)."""
         self.reset_results()
         img_idx = 0
         t_detect = 0.0
@@ -57,16 +61,20 @@ class EvalBase:
             batch, valid = pad_batch_to(batch, self.batch_size)
             t1 = time.time()
             det = eval_step(params, batch_stats, batch["images"])
-            det = np.asarray(det)  # blocks
+            det = np.asarray(jax.device_get(det))
             t_detect += time.time() - t1
-            det = det[:valid]
-            # rescale normalized boxes to original pixel sizes
-            h = batch["extra"][:valid, 0][:, None, None]
-            w = batch["extra"][:valid, 1][:, None, None]
-            det[:, :, :, 1] *= w
-            det[:, :, :, 3] *= w
-            det[:, :, :, 2] *= h
-            det[:, :, :, 4] *= h
+            det = det[:valid].copy()
+            # rescale normalized boxes (cols 1-4 in both layouts) to
+            # original pixel sizes (evaluate_utils.py:64-69)
+            shape = (valid,) + (1,) * (det.ndim - 2)
+            h = batch["extra"][:valid, 0].reshape(shape)
+            w = batch["extra"][:valid, 1].reshape(shape)
+            det[..., 1] *= w
+            det[..., 3] *= w
+            det[..., 2] *= h
+            det[..., 4] *= h
+            if det.ndim == 4:
+                det = self._dense_to_rows(det)
             img_idx = self.accumulate(det, batch["extra"][:valid],
                                       batch["ids"][:valid], img_idx)
             n_images += valid
@@ -75,6 +83,15 @@ class EvalBase:
                             "images": n_images,
                             "ips": n_images / max(total, 1e-9)}
         return self.evaluate_stats(tb_writer)
+
+    @staticmethod
+    def _dense_to_rows(det):
+        """[V, C, K, 5] -> [V, C*K, 6] rows (score, box, cls)."""
+        V, C, K, _ = det.shape
+        cls = np.broadcast_to(np.arange(C, dtype=det.dtype)[None, :, None],
+                              (V, C, K))
+        rows = np.concatenate([det, cls[..., None]], axis=-1)
+        return rows.reshape(V, C * K, 6)
 
 
 class EvalVOC(EvalBase):
@@ -92,16 +109,17 @@ class EvalVOC(EvalBase):
                         for _ in range(self.num_classes)]
 
     def accumulate(self, det, extra, ids, img_idx):
-        # det [B, C, K, 5] = score, x1, y1, x2, y2 (pixels)
+        # det [V, N, 6] rows = score, x1, y1, x2, y2, cls (pixels)
         for b in range(det.shape[0]):
-            for cls in range(1, det.shape[1]):
-                rows = det[b, cls]
-                rows = rows[rows[:, 0] > 0]
-                if rows.size == 0:
+            rows = det[b]
+            rows = rows[rows[:, 0] > 0]
+            for cls in range(1, self.num_classes):
+                r = rows[rows[:, 5] == cls]
+                if r.size == 0:
                     continue
                 # -> x1, y1, x2, y2, score
                 self.results[cls][img_idx] = np.ascontiguousarray(
-                    rows[:, [1, 2, 3, 4, 0]], np.float32)
+                    r[:, [1, 2, 3, 4, 0]], np.float32)
             img_idx += 1
         return img_idx
 
@@ -126,15 +144,12 @@ class EvalCOCO(EvalBase):
     def accumulate(self, det, extra, ids, img_idx):
         for b in range(det.shape[0]):
             coco_id = float(ids[b])
-            for cls in range(1, det.shape[1]):
-                rows = det[b, cls]
-                rows = rows[rows[:, 0] > 0]
-                if rows.size == 0:
-                    continue
-                cat = float(self.label_to_cat[cls - 1])
-                for r in rows:
-                    self.rows.append((coco_id, r[1], r[2], r[3] - r[1],
-                                      r[4] - r[2], r[0], cat))
+            rows = det[b]
+            rows = rows[rows[:, 0] > 0]
+            for r in rows:
+                cat = float(self.label_to_cat[int(r[5]) - 1])
+                self.rows.append((coco_id, r[1], r[2], r[3] - r[1],
+                                  r[4] - r[2], r[0], cat))
             img_idx += 1
         return img_idx
 

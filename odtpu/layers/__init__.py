@@ -1,8 +1,10 @@
-from .losses import (MultiBoxLoss, MultiBoxLossOutput, focal_loss,
-                     multibox_loss, multibox_targets, repulsion_loss,
+from .losses import (MultiBoxLoss, MultiBoxLossOutput, RefineDetLossOutput,
+                     focal_loss, mined_multibox, multibox_loss,
+                     multibox_targets, refinedet_loss, repulsion_loss,
                      smooth_l1)
 
 __all__ = [
-    "MultiBoxLoss", "MultiBoxLossOutput", "focal_loss", "multibox_loss",
-    "multibox_targets", "repulsion_loss", "smooth_l1",
+    "MultiBoxLoss", "MultiBoxLossOutput", "RefineDetLossOutput",
+    "focal_loss", "mined_multibox", "multibox_loss", "multibox_targets",
+    "refinedet_loss", "repulsion_loss", "smooth_l1",
 ]

@@ -64,11 +64,23 @@ def multibox_loss(loc_pred: Array, conf_pred: Array, priors: Array,
         gt_boxes:  [B, G, 4] point-form GT, padded.
         gt_labels: [B, G] labels in [0, C-2]; < 0 marks padding.
     """
-    B, P, C = conf_pred.shape
     loc_t, conf_t = multibox_targets(gt_boxes, gt_labels, priors, variances,
                                      overlap_thresh)
+    return mined_multibox(loc_pred, conf_pred, loc_t, conf_t, neg_pos_ratio)
 
+
+def mined_multibox(loc_pred: Array, conf_pred: Array, loc_t: Array,
+                   conf_t: Array, neg_pos_ratio: int = 3,
+                   ignore: Array | None = None) -> MultiBoxLossOutput:
+    """Smooth-L1 + hard-negative-mined CE from precomputed targets.
+
+    ignore: optional [B, P] bool — priors excluded from both positives
+    and the negative pool (RefineDet's ARM-filtered anchors).
+    """
+    B, P, C = conf_pred.shape
     pos = conf_t > 0  # [B, P]
+    if ignore is not None:
+        pos = pos & ~ignore
     num_pos = pos.sum(axis=1)  # [B]
 
     # ---- localization: smooth-L1 over positive priors -------------------
@@ -78,15 +90,17 @@ def multibox_loss(loc_pred: Array, conf_pred: Array, priors: Array,
     # ---- per-prior softmax CE (= logsumexp - logit[target]) -------------
     logits = conf_pred.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1)  # [B, P]
-    picked = jnp.take_along_axis(logits, conf_t[..., None], axis=-1)[..., 0]
+    tgt = jnp.where(pos, conf_t, 0)
+    picked = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
     ce = lse - picked  # [B, P]
 
     # ---- hard negative mining (double-argsort rank trick) ---------------
-    ce_neg = jnp.where(pos, 0.0, ce)
+    excluded = pos if ignore is None else (pos | ignore)
+    ce_neg = jnp.where(excluded, 0.0, ce)
     loss_idx = jnp.argsort(-ce_neg, axis=1, stable=True)
     rank = jnp.argsort(loss_idx, axis=1)
     num_neg = jnp.clip(neg_pos_ratio * num_pos, max=P - 1)  # [B]
-    neg = rank < num_neg[:, None]  # [B, P]
+    neg = (rank < num_neg[:, None]) & ~excluded  # [B, P]
 
     loss_c = jnp.sum(jnp.where(pos | neg, ce, 0.0))
     return MultiBoxLossOutput(loss_l, loss_c, num_pos.sum())
@@ -109,6 +123,56 @@ class MultiBoxLoss:
                             self.threshold, self.negpos_ratio)
         n = jnp.maximum(out.num_pos, 1).astype(jnp.float32)
         return out.loss_loc_sum / n, out.loss_conf_sum / n
+
+
+class RefineDetLossOutput(NamedTuple):
+    arm: MultiBoxLossOutput
+    odm: MultiBoxLossOutput
+
+
+def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
+                   odm_conf: Array, priors: Array, gt_boxes: Array,
+                   gt_labels: Array, variances,
+                   overlap_thresh: float = 0.5, neg_pos_ratio: int = 3,
+                   neg_anchor_thresh: float = 0.99) -> RefineDetLossOutput:
+    """Two-stage RefineDet loss (arXiv:1711.06897 §3).
+
+    ARM: class-agnostic multibox loss against the anchor grid (every GT
+    label collapsed to one 'object' class).
+    ODM: C-class multibox loss against the ARM-*refined* anchors
+    (decode(arm_loc) as per-image priors, gradients stopped), with
+    anchors the ARM confidently calls background (P(bg) > 0.99) removed
+    from both the positive set and the negative mining pool.
+    """
+    from ..ops.boxes import center_size, decode
+    from ..ops.matching import match
+
+    # ---- ARM: binary objectness ------------------------------------
+    bin_labels = jnp.where(gt_labels >= 0, 0, -1)
+    arm_out = multibox_loss(arm_loc, arm_conf, priors, gt_boxes, bin_labels,
+                            variances, overlap_thresh, neg_pos_ratio)
+
+    # ---- refined anchors (per image) --------------------------------
+    refined = center_size(decode(arm_loc, priors[None], variances))
+    refined = jax.lax.stop_gradient(refined)  # [B, P, 4]
+
+    def match_one(boxes, labels, pri):
+        loc_t, conf_t, _ = match(boxes, labels, pri, variances,
+                                 overlap_thresh)
+        return loc_t, conf_t
+
+    loc_t, conf_t = jax.vmap(match_one)(gt_boxes, gt_labels, refined)
+    loc_t = jax.lax.stop_gradient(loc_t)
+    conf_t = jax.lax.stop_gradient(conf_t)
+
+    # negative-anchor filtering: ARM softmax background prob > thresh
+    arm_prob_bg = jax.nn.softmax(
+        jax.lax.stop_gradient(arm_conf.astype(jnp.float32)), axis=-1)[..., 0]
+    ignore = arm_prob_bg > neg_anchor_thresh
+
+    odm_out = mined_multibox(odm_loc, odm_conf, loc_t, conf_t,
+                             neg_pos_ratio, ignore=ignore)
+    return RefineDetLossOutput(arm_out, odm_out)
 
 
 def focal_loss(conf_pred: Array, conf_t: Array, gamma: float = 2.0,

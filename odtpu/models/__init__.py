@@ -23,31 +23,84 @@ import jax.numpy as jnp
 
 from ..ops.priors import prior_factory
 from .common import L2Norm
+from .drn import DRN, drn_d_22, drn_d_24
+from .drnssd import DRNSSD
+from .fpn import FPN
+from .fssd import FSSD
+from .refinedet import RefineDet
+from .rfbnet import RFBNet
 from .ssd import EXTRAS_SPEC, SSD, MultiBoxHead, parse_extras
 from .vgg import VGG16
 
 __all__ = ["SSD", "VGG16", "L2Norm", "MultiBoxHead", "EXTRAS_SPEC",
            "parse_extras", "model_factory", "create_model",
-           "probe_layer_dims", "init_model", "BASE_REGISTRY", "SSD_REGISTRY"]
+           "probe_layer_dims", "init_model", "BASE_REGISTRY", "SSD_REGISTRY",
+           "FPN", "FSSD", "RFBNet", "RefineDet", "DRN", "DRNSSD",
+           "drn_d_22", "drn_d_24"]
 
 
 BASE_REGISTRY = {
     "vgg16": lambda cfg, dtype: VGG16(dtype=dtype,
                                       batch_norm=cfg.MODEL.BATCH_NORM),
+    "drn_d_22": lambda cfg, dtype: drn_d_22(dtype=dtype),
+    "drn_d_24": lambda cfg, dtype: drn_d_24(dtype=dtype),
 }
 
-def _build_ssd(cfg, base, num_priors, dtype):
+
+def _extras_for(cfg):
     size = cfg.MODEL.IMAGE_SIZE[-1]
-    extras = list(cfg.MODEL.EXTRAS) or EXTRAS_SPEC["ssd" + str(size)]
+    return tuple(cfg.MODEL.EXTRAS) or tuple(EXTRAS_SPEC["ssd" + str(size)])
+
+
+def _build_ssd(cfg, base, num_priors, dtype):
     return SSD(backbone=base, num_classes=cfg.MODEL.NUM_CLASSES,
-               num_priors=tuple(num_priors), extras_spec=tuple(extras),
+               num_priors=tuple(num_priors), extras_spec=_extras_for(cfg),
                dtype=dtype)
+
+
+def _build_fpn(cfg, base, num_priors, dtype):
+    return FPN(backbone=base, num_classes=cfg.MODEL.NUM_CLASSES,
+               num_priors=tuple(num_priors), extras_spec=_extras_for(cfg),
+               dtype=dtype)
+
+
+def _build_fssd(cfg, base, num_priors, dtype):
+    return FSSD(backbone=base, num_classes=cfg.MODEL.NUM_CLASSES,
+                num_priors=tuple(num_priors), dtype=dtype)
+
+
+def _build_rfb(cfg, base, num_priors, dtype):
+    return RFBNet(backbone=base, num_classes=cfg.MODEL.NUM_CLASSES,
+                  num_priors=tuple(num_priors),
+                  size=cfg.MODEL.IMAGE_SIZE[-1], dtype=dtype)
+
+
+def _build_drnssd(cfg, base, num_priors, dtype):
+    mid = DRN(layers=base.layers, channels=base.channels, out_middle=True,
+              dtype=dtype)
+    return DRNSSD(backbone=mid, num_classes=cfg.MODEL.NUM_CLASSES,
+                  num_priors=tuple(num_priors), dtype=dtype)
+
+
+def _build_refinedet(cfg, base, num_priors, dtype):
+    if isinstance(base, VGG16):
+        base = VGG16(dtype=base.dtype, batch_norm=base.batch_norm,
+                     taps=("conv4_3", "conv5_3", "conv7"),
+                     pool5_stride2=True)
+    return RefineDet(backbone=base, num_classes=cfg.MODEL.NUM_CLASSES,
+                     num_priors=tuple(num_priors), dtype=dtype)
+
 
 SSD_REGISTRY = {
     "SSD": _build_ssd,
     # kept for config compatibility: the reference's SSD_COCO is the same
     # architecture wired without hooks (lib/models/ssd_coco.py:7)
     "SSD_COCO": _build_ssd,
+    "FPN": _build_fpn,
+    "FSSD": _build_fssd,
+    "RFBNet": _build_rfb,
+    "DRN_SSD": _build_drnssd,
+    "RefineDet": _build_refinedet,
 }
 
 
@@ -85,7 +138,7 @@ def probe_layer_dims(model, image_size) -> Sequence[tuple]:
         variables = model.init(rng, x, train=False)
         out = model.apply(variables, x, train=False, return_sources=True,
                           mutable=False)
-        return out[2]
+        return out[-1]  # sources are always the last element
 
     shapes = jax.eval_shape(f, jax.ShapeDtypeStruct((1, h, w, 3),
                                                     jnp.float32))

@@ -33,17 +33,23 @@ TORCH_INDEX_TO_NAME = {
 
 
 class VGG16(nn.Module):
-    """Returns (sources, final): sources = [conv4_3 relu, conv7 relu]
-    (the two base-net detection sources), final = conv7 relu (feeds extras).
+    """Returns (sources, final): sources are the post-ReLU activations at
+    `taps` (default [conv4_3, conv7], the two base-net SSD sources);
+    final = conv7 relu (feeds extras). RefineDet taps conv5_3 too.
     """
     dtype: Any = jnp.bfloat16
     batch_norm: bool = False
+    taps: tuple = ("conv4_3", "conv7")
+    # RefineDet variant: standard 2x2/s2 pool5 + fc6 dilation 3 so conv7
+    # sits at stride 32 (paper strides 8/16/32/64); default is the SSD
+    # 'reduced fc' 3x3/s1 pool5 + dilation 6 (stride 16)
+    pool5_stride2: bool = False
 
-    # (name, features) per stage; pools between stages
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         bn = self.batch_norm
+        acts = {}
 
         def c(name, feat, **kw):
             return Conv(feat, kernel=3, padding=1, dtype=d, batch_norm=bn,
@@ -62,14 +68,21 @@ class VGG16(nn.Module):
         x = c("conv4_1", 512)(x, train)
         x = c("conv4_2", 512)(x, train)
         x = c("conv4_3", 512)(x, train)
-        conv4_3 = x
+        acts["conv4_3"] = x
         x = max_pool_ceil(x, 2, 2)
         x = c("conv5_1", 512)(x, train)
         x = c("conv5_2", 512)(x, train)
         x = c("conv5_3", 512)(x, train)
-        x = max_pool_ceil(x, 3, 1, padding=1)  # pool5: keeps spatial dims
-        x = Conv(1024, kernel=3, padding=6, dilation=6, dtype=d,
-                 batch_norm=bn, name="conv6")(x, train)
+        acts["conv5_3"] = x
+        if self.pool5_stride2:
+            x = max_pool_ceil(x, 2, 2)
+            x = Conv(1024, kernel=3, padding=3, dilation=3, dtype=d,
+                     batch_norm=bn, name="conv6")(x, train)
+        else:
+            x = max_pool_ceil(x, 3, 1, padding=1)  # pool5: keeps dims
+            x = Conv(1024, kernel=3, padding=6, dilation=6, dtype=d,
+                     batch_norm=bn, name="conv6")(x, train)
         x = Conv(1024, kernel=1, padding=0, dtype=d, batch_norm=bn,
                  name="conv7")(x, train)
-        return [conv4_3, x], x
+        acts["conv7"] = x
+        return [acts[t] for t in self.taps], x

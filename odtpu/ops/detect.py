@@ -17,6 +17,9 @@ is a silent no-op — `flt[...].fill_(0)` mutates a gathered *copy*, so
 every per-class survivor is returned. We reproduce that actual behavior
 by default; `cross_class_topk=True` enables the evidently intended
 global rank filter.
+
+detect_refine implements the RefineDet two-step decode (ARM-refined
+anchors -> ODM regression, negative-anchor filtering).
 """
 
 from __future__ import annotations
@@ -26,10 +29,54 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .boxes import decode
+from .boxes import center_size, decode
 from .nms import _greedy_mask
 
 Array = jax.Array
+
+
+def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
+                   nms_thresh: float, top_k: int, impl: str = "lax"):
+    """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
+    (score, x1, y1, x2, y2), zero padded, descending score."""
+    if impl == "pallas":
+        from .pallas.nms_kernel import per_class_nms_pallas
+        return per_class_nms_pallas(decoded, conf_fg, conf_thresh,
+                                    nms_thresh, top_k)
+
+    P = decoded.shape[1]
+
+    def one_class(boxes, scores):
+        k = min(top_k, P)
+        top_scores, order = jax.lax.top_k(scores, k)
+        top_boxes = jnp.take(boxes, order, axis=0)
+        alive = _greedy_mask(top_boxes, top_scores, nms_thresh, conf_thresh)
+        perm = jnp.argsort(~alive, stable=True)
+        a = alive[perm].astype(top_scores.dtype)
+        row_scores = jnp.take(top_scores, perm) * a
+        row_boxes = jnp.take(top_boxes, perm, axis=0) * a[:, None]
+        rows = jnp.concatenate([row_scores[:, None], row_boxes], axis=1)
+        if k < top_k:
+            rows = jnp.pad(rows, ((0, top_k - k), (0, 0)))
+        return rows
+
+    per_image = jax.vmap(one_class, in_axes=(None, 1))  # over classes
+    return jax.vmap(per_image)(decoded, conf_fg)
+
+
+def _finalize(out_fg: Array, top_k: int, cross_class_topk: bool):
+    """Prepend the zero background class; optional global rank filter."""
+    B = out_fg.shape[0]
+    C = out_fg.shape[1] + 1
+    background = jnp.zeros((B, 1, top_k, 5), out_fg.dtype)
+    output = jnp.concatenate([background, out_fg], axis=1)
+    if cross_class_topk:
+        flat = output.reshape(B, -1, 5)
+        rank_src = jnp.argsort(-flat[:, :, 0], axis=1, stable=True)
+        rank = jnp.argsort(rank_src, axis=1)
+        keep = (rank < top_k)[..., None]
+        output = jnp.where(keep, flat, 0.0).reshape(B, C, top_k, 5)
+    return output
 
 
 def detect_out(loc: Array, conf: Array, priors: Array, variances,
@@ -42,7 +89,6 @@ def detect_out(loc: Array, conf: Array, priors: Array, variances,
         loc:    [B, P, 4] location predictions.
         conf:   [B, P, C] class probabilities (already softmaxed).
         priors: [P, 4] center-size priors.
-        variances: (v_center, v_size).
         impl: 'lax' (fixed-iteration fori_loop) or 'pallas' (fused kernel).
     Returns:
         [B, C, top_k, 5] float32: (score, x1, y1, x2, y2), zero padded.
@@ -57,44 +103,63 @@ def detect_out(loc: Array, conf: Array, priors: Array, variances,
                                    "top_k", "cross_class_topk", "impl"))
 def _detect_out(loc, conf, priors, variances, conf_thresh, nms_thresh,
                 top_k, cross_class_topk, impl):
-    B, P, C = conf.shape
     decoded = decode(loc, priors[None], variances)  # [B, P, 4]
+    out_fg = _per_class_nms(decoded, conf[..., 1:], conf_thresh, nms_thresh,
+                            top_k, impl)
+    return _finalize(out_fg, top_k, cross_class_topk)
 
-    if impl == "pallas":
-        from .pallas.nms_kernel import per_class_nms_pallas
-        out_fg = per_class_nms_pallas(
-            decoded, conf[..., 1:], conf_thresh, nms_thresh, top_k)
-    else:
-        def one_class(boxes, scores):
-            # [P,4], [P] -> [top_k, 5]
-            k = min(top_k, P)
-            top_scores, order = jax.lax.top_k(scores, k)
-            top_boxes = jnp.take(boxes, order, axis=0)
-            alive = _greedy_mask(top_boxes, top_scores, nms_thresh, conf_thresh)
-            perm = jnp.argsort(~alive, stable=True)
-            a = alive[perm].astype(top_scores.dtype)
-            row_scores = jnp.take(top_scores, perm) * a
-            row_boxes = jnp.take(top_boxes, perm, axis=0) * a[:, None]
-            rows = jnp.concatenate([row_scores[:, None], row_boxes], axis=1)
-            if k < top_k:
-                rows = jnp.pad(rows, ((0, top_k - k), (0, 0)))
-            return rows
 
-        per_image = jax.vmap(one_class, in_axes=(None, 1))  # over classes
-        out_fg = jax.vmap(per_image)(decoded, conf[..., 1:])  # [B, C-1, K, 5]
+def _compact(dense: Array, top_k: int):
+    """[B, C, K, 5] -> cross-class top-k rows [B, top_k, 6] (+cls col)."""
+    B, C, K, _ = dense.shape
+    cls_ids = jnp.broadcast_to(
+        jnp.arange(C, dtype=dense.dtype)[None, :, None], (B, C, K))
+    rows = jnp.concatenate([dense, cls_ids[..., None]], axis=-1)
+    flat = rows.reshape(B, C * K, 6)
+    top_scores, idx = jax.lax.top_k(flat[:, :, 0], top_k)
+    picked = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return picked * (top_scores[..., None] > 0)
 
-    background = jnp.zeros((B, 1, top_k, 5), out_fg.dtype)
-    output = jnp.concatenate([background, out_fg], axis=1)  # [B, C, K, 5]
 
-    if cross_class_topk:
-        # the *intended* reference behavior: keep only the global top_k
-        # detections per image across all classes (detection.py:60-63)
-        flat = output.reshape(B, -1, 5)
-        rank_src = jnp.argsort(-flat[:, :, 0], axis=1, stable=True)
-        rank = jnp.argsort(rank_src, axis=1)
-        keep = (rank < top_k)[..., None]
-        output = jnp.where(keep, flat, 0.0).reshape(B, C, top_k, 5)
-    return output
+def detect_out_compact(loc: Array, conf: Array, priors: Array, variances,
+                       conf_thresh: float = 0.01, nms_thresh: float = 0.45,
+                       top_k: int = 200, impl: str = "lax"):
+    """Like :func:`detect_out` but returns the cross-class top-`top_k`
+    detections per image as [B, top_k, 6] (score, x1, y1, x2, y2, cls),
+    zero-padded, descending score.
+
+    Rationale: the dense [B, C, top_k, 5] contract tensor is ~2 MB/batch
+    of mostly zeros; over a tunneled TPU the device->host fetch dominates
+    eval wall-clock. The cross-class cap is also the reference's *intended*
+    final filter (detection.py:60-63; a no-op there due to a fill-on-copy
+    bug) and matches the original SSD eval protocol (200 dets/image).
+    """
+    dense = detect_out(loc, conf, priors, variances, conf_thresh,
+                       nms_thresh, top_k, cross_class_topk=False, impl=impl)
+    return _compact(dense, int(top_k))
+
+
+def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
+                  odm_conf: Array, priors: Array, variances,
+                  conf_thresh: float = 0.01, nms_thresh: float = 0.45,
+                  top_k: int = 200, neg_anchor_thresh: float = 0.99,
+                  compact: bool = True, impl: str = "lax"):
+    """RefineDet two-step decode + per-class NMS.
+
+    arm_conf [B,P,2] and odm_conf [B,P,C] must be softmaxed (eval phase).
+    Anchors the ARM is confident are background (P(bg) > 0.99, the
+    paper's test-time filter) are removed from scoring.
+    """
+    variances = tuple(float(v) for v in variances)
+    refined = center_size(decode(arm_loc, priors[None], variances))
+    refined = jax.lax.stop_gradient(refined)
+    decoded = decode(odm_loc, refined, variances)  # [B, P, 4]
+    keep = arm_conf[..., 0] <= neg_anchor_thresh  # [B, P]
+    conf = odm_conf * keep[..., None]
+    out_fg = _per_class_nms(decoded, conf[..., 1:], float(conf_thresh),
+                            float(nms_thresh), int(top_k), impl)
+    dense = _finalize(out_fg, int(top_k), False)
+    return _compact(dense, int(top_k)) if compact else dense
 
 
 class DetectOut:

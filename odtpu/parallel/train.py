@@ -51,6 +51,13 @@ def lr_schedule(cfg):
     return decay
 
 
+def _model_has_bn(cfg) -> bool:
+    """Whether the configured model carries batch_stats (BatchNorm)."""
+    return (bool(cfg.MODEL.BATCH_NORM)
+            or cfg.MODEL.SSD_TYPE in ("FSSD", "RFBNet", "DRN_SSD")
+            or str(cfg.MODEL.BASE).startswith("drn"))
+
+
 def make_optimizer(cfg):
     opt = cfg.TRAIN.OPTIMIZER
     sched = lr_schedule(cfg)
@@ -90,12 +97,18 @@ def create_train_state(model, cfg, rng=None, mesh=None) -> tuple:
 
 
 def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
-    """Returns step(state, images, boxes, labels) -> (state, metrics)."""
+    """Returns step(state, images, boxes, labels) -> (state, metrics).
+
+    NOTE: priors ride through jit as a real argument, never a closure —
+    jit-captured device-array constants degrade the axon tunnel's
+    host<->device transfer path by ~35x (measured; see SKILL.md gotchas).
+    """
     variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
     overlap = float(cfg.LOSS.OVERLAP_THRESH)
     negpos = int(cfg.LOSS.NEG_POS_RATIO)
     loc_w = float(cfg.LOSS.LOC_WEIGHT)
-    has_bn = bool(cfg.MODEL.BATCH_NORM)
+    has_bn = _model_has_bn(cfg)
+    is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
     use_remat = bool(cfg.TPU.REMAT)
 
     def apply_model(params, batch_stats, images, train):
@@ -111,10 +124,26 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     if use_remat:
         apply_model = jax.checkpoint(apply_model, static_argnums=(3,))
 
-    def loss_fn(params, batch_stats, images, boxes, labels):
-        (loc, conf), new_stats = apply_model(params, batch_stats, images,
-                                             True)
-        out = multibox_loss(loc, conf, priors, boxes, labels, variances,
+    def loss_fn(params, batch_stats, priors_arg, images, boxes, labels):
+        outputs, new_stats = apply_model(params, batch_stats, images, True)
+        if is_refine:
+            from ..layers.losses import refinedet_loss
+            arm_loc, arm_conf, odm_loc, odm_conf = outputs
+            r = refinedet_loss(arm_loc, arm_conf, odm_loc, odm_conf,
+                               priors_arg, boxes, labels, variances,
+                               overlap, negpos)
+            n_arm = jnp.maximum(r.arm.num_pos, 1).astype(jnp.float32)
+            n_odm = jnp.maximum(r.odm.num_pos, 1).astype(jnp.float32)
+            loss_l = (loc_w * r.arm.loss_loc_sum / n_arm
+                      + loc_w * r.odm.loss_loc_sum / n_odm)
+            loss_c = (r.arm.loss_conf_sum / n_arm
+                      + r.odm.loss_conf_sum / n_odm)
+            loss = loss_l + loss_c
+            metrics = {"loss": loss, "loss_loc": loss_l,
+                       "loss_conf": loss_c, "num_pos": r.odm.num_pos}
+            return loss, (metrics, new_stats)
+        loc, conf = outputs
+        out = multibox_loss(loc, conf, priors_arg, boxes, labels, variances,
                             overlap, negpos)
         n = jnp.maximum(out.num_pos, 1).astype(jnp.float32)
         loss_l = out.loss_loc_sum / n
@@ -124,9 +153,10 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
                    "num_pos": out.num_pos}
         return loss, (metrics, new_stats)
 
-    def step(state: TrainState, images, boxes, labels):
+    def step(state: TrainState, priors_arg, images, boxes, labels):
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, images, boxes, labels)
+            state.params, state.batch_stats, priors_arg, images, boxes,
+            labels)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -134,35 +164,64 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+        priors_dev = jax.device_put(jnp.asarray(priors))
+    else:
+        b_sh = batch_sharding(mesh)
+        jitted = jax.jit(
+            step,
+            in_shardings=(None, replicated(mesh), b_sh, b_sh, b_sh),
+            donate_argnums=(0,) if donate else (),
+        )
+        priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
 
-    b_sh = batch_sharding(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(None, b_sh, b_sh, b_sh),
-        donate_argnums=(0,) if donate else (),
-    )
+    def wrapped(state, images, boxes, labels):
+        return jitted(state, priors_dev, images, boxes, labels)
+
+    return wrapped
 
 
-def make_eval_step(model, priors, cfg, mesh=None):
-    """Jitted eval forward + on-chip decode/NMS -> [B, C, top_k, 5]."""
-    from ..ops.detect import detect_out
+def make_eval_step(model, priors, cfg, mesh=None, compact=True):
+    """Jitted eval forward + on-chip decode/NMS.
+
+    compact=True (default) returns [B, top_k, 6] cross-class rows — tiny
+    device->host copy; compact=False returns the reference contract
+    tensor [B, C, top_k, 5]."""
+    from ..ops.detect import detect_out, detect_out_compact, detect_refine
     variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
     top_k = int(cfg.EVAL.TOP_K)
     conf_thresh = float(cfg.EVAL.CONF_THRESH)
     nms_thresh = float(cfg.EVAL.NMS_THRESH)
-    has_bn = bool(cfg.MODEL.BATCH_NORM)
+    has_bn = _model_has_bn(cfg)
+    is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
+    detect = detect_out_compact if compact else detect_out
 
-    def step(params, batch_stats, images):
+    def step(params, batch_stats, priors_arg, images):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
-        loc, conf = model.apply(variables, images, phase="eval", train=False)
-        return detect_out(loc, conf, priors, variances, conf_thresh,
-                          nms_thresh, top_k)
+        out = model.apply(variables, images, phase="eval", train=False)
+        if is_refine:
+            arm_loc, arm_conf, odm_loc, odm_conf = out
+            return detect_refine(arm_loc, arm_conf, odm_loc, odm_conf,
+                                 priors_arg, variances, conf_thresh,
+                                 nms_thresh, top_k, compact=compact)
+        loc, conf = out
+        return detect(loc, conf, priors_arg, variances, conf_thresh,
+                      nms_thresh, top_k)
 
+    # priors as a jit *argument*, not a closure (see make_train_step note)
     if mesh is None:
-        return jax.jit(step)
-    b_sh = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(None, None, b_sh),
-                   out_shardings=b_sh)
+        jitted = jax.jit(step)
+        priors_dev = jax.device_put(jnp.asarray(priors))
+    else:
+        b_sh = batch_sharding(mesh)
+        jitted = jax.jit(step,
+                         in_shardings=(None, None, replicated(mesh), b_sh),
+                         out_shardings=b_sh)
+        priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
+
+    def wrapped(params, batch_stats, images):
+        return jitted(params, batch_stats, priors_dev, images)
+
+    return wrapped

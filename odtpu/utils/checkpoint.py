@@ -1,0 +1,82 @@
+"""Checkpoint / resume via orbax.
+
+Parity target: the reference's torch.save dicts {'iteration',
+'step_index', 'state_dict'} every SAVE_ITER (train.py:161-169,211-213)
+and --resume restore (train.py:67-72). Here the checkpoint carries the
+whole TrainState (params + momentum + step) so LR-schedule state resumes
+exactly (the schedule is a pure function of step — no fragile
+step_index bookkeeping).
+
+Also: one-time import of converted backbone weights from an .npz
+(replaces the reference's vgg16_reducedfc.pth partial-state-dict load,
+train.py:75-85). Conversion script: tools/convert_torch_weights.py.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _manager(directory, max_to_keep=5):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        osp.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+class Checkpointer:
+    def __init__(self, directory, max_to_keep: int = 5):
+        self.directory = osp.abspath(directory)
+        self.mgr = _manager(directory, max_to_keep)
+
+    def save(self, step: int, state: Any, force: bool = False):
+        import orbax.checkpoint as ocp
+        state = jax.tree.map(np.asarray, jax.device_get(state))
+        self.mgr.save(int(step), args=ocp.args.StandardSave(state),
+                      force=force)
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        import orbax.checkpoint as ocp
+        step = self.latest_step() if step is None else int(step)
+        if step is None:
+            raise FileNotFoundError(
+                "no checkpoint found under " + self.directory)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+            if hasattr(x, "dtype") else x, template)
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def load_backbone_npz(params, npz_path, backbone_key="backbone"):
+    """Merge converted backbone weights into a param tree.
+
+    npz keys: '<conv_name>/kernel' (HWIO), '<conv_name>/bias'. Missing
+    keys are left at init (partial-load fallback, reference
+    train.py:79-85). Returns (new_params, loaded_names, skipped_names).
+    """
+    import flax
+    data = np.load(npz_path)
+    flat = flax.traverse_util.flatten_dict(params)
+    loaded, skipped = [], []
+    by_conv = {}
+    for key in data.files:
+        name, leaf = key.rsplit("/", 1)
+        by_conv.setdefault(name, {})[leaf] = data[key]
+    for name, leaves in by_conv.items():
+        for leaf, value in leaves.items():
+            path = (backbone_key, name, "conv", leaf)
+            if path in flat and flat[path].shape == value.shape:
+                flat[path] = value.astype(flat[path].dtype)
+                loaded.append(name + "/" + leaf)
+            else:
+                skipped.append(name + "/" + leaf)
+    return flax.traverse_util.unflatten_dict(flat), loaded, skipped

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Parity target: /root/reference/train.py — same CLI shape
+(--cfg_name/--job_group select cfgs/<group>/<name>.yml; --resume;
+--basenet) and the same training contract: SGD step decay, loss logging
+every LOG_LOSS_ITER, checkpoint every SAVE_ITER, in-training eval every
+EVAL_ITER, stop at MAX_ITER.
+
+TPU-native execution: one jitted SPMD train step over a
+jax.sharding.Mesh; the host loop only feeds sharded batches and reads
+metrics (asynchronously — metrics from step N are consumed at N+log
+interval so the device never stalls on the host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="odtpu training")
+    p.add_argument("--cfg_name", default="ssd_vgg16_voc",
+                   help="yaml name under cfgs/<job_group>/")
+    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg", default="", help="explicit yaml path "
+                   "(overrides cfg_name/job_group)")
+    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--basenet", default="",
+                   help="converted backbone weights .npz")
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--max_iter", type=int, default=0,
+                   help="override cfg.TRAIN.MAX_ITER")
+    return p.parse_args()
+
+
+def setup(args):
+    from odtpu.utils.config import load_cfg
+    cfg_path = args.cfg or osp.join("cfgs", args.job_group,
+                                    args.cfg_name + ".yml")
+    cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
+    if not osp.isfile(cfg_path):
+        print("config {} not found; using defaults".format(cfg_path))
+    if args.max_iter:
+        cfg.TRAIN.MAX_ITER = args.max_iter
+    name = args.cfg_name
+    out = args.output_dir or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
+                                      args.job_group, name)
+    os.makedirs(out, exist_ok=True)
+    log_dir = osp.join(cfg.LOG.ROOT_DIR,
+                       "{}_{}".format(args.job_group, name))
+    return cfg, out, log_dir
+
+
+def main():
+    args = parse_args()
+    cfg, out_dir, log_dir = setup(args)
+
+    from odtpu.data import dataset_factory
+    from odtpu.eval import eval_solver_factory
+    from odtpu.models import model_factory
+    from odtpu.parallel import (create_train_state, make_eval_step,
+                                make_mesh, make_train_step, shard_batch,
+                                make_optimizer)
+    from odtpu.utils.checkpoint import Checkpointer, load_backbone_npz
+    from odtpu.utils.logging import TBWriter, Timer
+
+    print("devices:", jax.devices())
+    mesh = make_mesh(cfg)
+    print("mesh:", dict(mesh.shape))
+
+    train_loader = dataset_factory("train", cfg)
+    val_loader = dataset_factory("eval", cfg)
+    eval_solver = eval_solver_factory(val_loader, cfg,
+                                      osp.join(out_dir, "eval"))
+
+    model, priors, layer_dims = model_factory("train", cfg)
+    print("feature maps:", layer_dims, "priors:", priors.shape)
+
+    state, tx = create_train_state(model, cfg, mesh=mesh)
+    if args.basenet:
+        params, loaded, skipped = load_backbone_npz(
+            jax.device_get(state.params), args.basenet)
+        print("backbone import: {} loaded, {} skipped".format(
+            len(loaded), len(skipped)))
+        state = state.replace(params=jax.device_put(params))
+
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    start_step = 0
+    if args.resume:
+        restored = Checkpointer(args.resume).restore(state)
+        state = restored
+        start_step = int(np.asarray(state.step))
+        print("resumed at step", start_step)
+
+    step_fn = make_train_step(model, priors, cfg, tx, mesh=mesh)
+    eval_fn = make_eval_step(model, priors, cfg, mesh=mesh)
+    tb = TBWriter(log_dir)
+
+    max_iter = int(cfg.TRAIN.MAX_ITER)
+    log_every = int(cfg.TRAIN.LOG_LOSS_ITER)
+    save_every = int(cfg.TRAIN.SAVE_ITER)
+    eval_every = int(cfg.TRAIN.EVAL_ITER)
+
+    it = start_step
+    timer = Timer()
+    pending = None  # (step, metrics) not yet consumed
+    while it < max_iter:
+        for batch in train_loader:
+            if it >= max_iter:
+                break
+            timer.tic()
+            sharded = shard_batch(
+                (batch["images"], batch["boxes"], batch["labels"]), mesh)
+            state, metrics = step_fn(state, *sharded)
+            it += 1
+            if pending is not None and pending[0] % log_every == 0:
+                m = jax.device_get(pending[1])
+                print("iter {} | loss {:.4f} (loc {:.4f} conf {:.4f}) "
+                      "| {:.1f} img/s".format(
+                          pending[0], float(m["loss"]), float(m["loss_loc"]),
+                          float(m["loss_conf"]),
+                          batch["images"].shape[0] / max(timer.diff, 1e-9)))
+                tb.add_scalars("train", {
+                    "loss": float(m["loss"]),
+                    "loc_loss": float(m["loss_loc"]),
+                    "conf_loss": float(m["loss_conf"]),
+                    "time": timer.diff}, pending[0])
+            pending = (it, metrics)
+            timer.toc(average=False)
+
+            if it % save_every == 0 or it == max_iter:
+                ckpt.save(it, state)
+                print("saved checkpoint at", it)
+            if it % eval_every == 0 or it == max_iter:
+                res, maps = eval_solver.validate(
+                    eval_fn, state.params, state.batch_stats, tb_writer=tb)
+                print("iter {} | mAP {}".format(it, maps))
+                tb.add_scalar("mAP/mAP@0.5", maps[0], it)
+                if len(maps) > 1:
+                    tb.add_scalar("mAP/mAP@[.5:.95]", maps[1], it)
+
+    ckpt.save(max_iter, state, force=True)
+    tb.close()
+    print("done at iter", it)
+
+
+if __name__ == "__main__":
+    main()
