@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="odtpu evaluation")
     p.add_argument("--cfg_name", default="ssd_vgg16_voc")
     p.add_argument("--job_group", default="base")
@@ -23,11 +23,11 @@ def parse_args():
                    help="checkpoint dir (weights/<group>/<name>/ckpt by "
                         "default)")
     p.add_argument("--output_dir", default="eval_out")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     from odtpu.data import dataset_factory
     from odtpu.eval import eval_solver_factory
     from odtpu.models import model_factory

@@ -62,13 +62,17 @@ def make_optimizer(cfg):
     opt = cfg.TRAIN.OPTIMIZER
     sched = lr_schedule(cfg)
     name = opt.OPTIMIZER.lower()
+    clip = float(getattr(opt, "CLIP_GRAD_NORM", 0.0) or 0.0)
+    pre = [optax.clip_by_global_norm(clip)] if clip > 0 else []
     if name == "sgd":
         tx = optax.chain(
+            *pre,
             optax.add_decayed_weights(float(opt.WEIGHT_DECAY)),
             optax.sgd(sched, momentum=float(opt.MOMENTUM)),
         )
     elif name == "adam":
         tx = optax.chain(
+            *pre,
             optax.add_decayed_weights(float(opt.WEIGHT_DECAY)),
             optax.adam(sched),
         )

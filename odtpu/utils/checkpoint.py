@@ -36,9 +36,13 @@ class Checkpointer:
 
     def save(self, step: int, state: Any, force: bool = False):
         import orbax.checkpoint as ocp
+        step = int(step)
+        if step in (self.mgr.all_steps() or []):
+            if not force:
+                return  # already saved at this step (e.g. save+final)
+            self.mgr.delete(step)
         state = jax.tree.map(np.asarray, jax.device_get(state))
-        self.mgr.save(int(step), args=ocp.args.StandardSave(state),
-                      force=force)
+        self.mgr.save(step, args=ocp.args.StandardSave(state), force=force)
         self.mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

@@ -130,6 +130,9 @@ def default_cfg() -> AttrDict:
     C.TRAIN.OPTIMIZER.LR = 1e-3
     C.TRAIN.OPTIMIZER.MOMENTUM = 0.9
     C.TRAIN.OPTIMIZER.WEIGHT_DECAY = 5e-4
+    # global-norm gradient clipping; 0 disables (TPU-new: large-batch /
+    # from-scratch stability; the reference has no clipping)
+    C.TRAIN.OPTIMIZER.CLIP_GRAD_NORM = 0.0
 
     C.TRAIN.LR_SCHEDULER = AttrDict()
     C.TRAIN.LR_SCHEDULER.SCHEDULER = "step"

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="odtpu training")
     p.add_argument("--cfg_name", default="ssd_vgg16_voc",
                    help="yaml name under cfgs/<job_group>/")
@@ -37,7 +37,7 @@ def parse_args():
     p.add_argument("--output_dir", default="")
     p.add_argument("--max_iter", type=int, default=0,
                    help="override cfg.TRAIN.MAX_ITER")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def setup(args):
@@ -58,8 +58,8 @@ def setup(args):
     return cfg, out, log_dir
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     cfg, out_dir, log_dir = setup(args)
 
     from odtpu.data import dataset_factory
