@@ -35,10 +35,18 @@ from .nms import _greedy_mask
 Array = jax.Array
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        import jax as _jax
+        return "pallas" if _jax.default_backend() == "tpu" else "lax"
+    return impl
+
+
 def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
-                   nms_thresh: float, top_k: int, impl: str = "lax"):
+                   nms_thresh: float, top_k: int, impl: str = "auto"):
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
     (score, x1, y1, x2, y2), zero padded, descending score."""
+    impl = _resolve_impl(impl)
     if impl == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
         return per_class_nms_pallas(decoded, conf_fg, conf_thresh,
@@ -82,14 +90,14 @@ def _finalize(out_fg: Array, top_k: int, cross_class_topk: bool):
 def detect_out(loc: Array, conf: Array, priors: Array, variances,
                conf_thresh: float = 0.01, nms_thresh: float = 0.45,
                top_k: int = 200, cross_class_topk: bool = False,
-               impl: str = "lax"):
+               impl: str = "auto"):
     """Decode + per-class NMS for a batch.
 
     Args:
         loc:    [B, P, 4] location predictions.
         conf:   [B, P, C] class probabilities (already softmaxed).
         priors: [P, 4] center-size priors.
-        impl: 'lax' (fixed-iteration fori_loop) or 'pallas' (fused kernel).
+        impl: 'auto' (pallas on TPU, lax elsewhere), 'lax', or 'pallas'.
     Returns:
         [B, C, top_k, 5] float32: (score, x1, y1, x2, y2), zero padded.
     """
@@ -123,7 +131,7 @@ def _compact(dense: Array, top_k: int):
 
 def detect_out_compact(loc: Array, conf: Array, priors: Array, variances,
                        conf_thresh: float = 0.01, nms_thresh: float = 0.45,
-                       top_k: int = 200, impl: str = "lax"):
+                       top_k: int = 200, impl: str = "auto"):
     """Like :func:`detect_out` but returns the cross-class top-`top_k`
     detections per image as [B, top_k, 6] (score, x1, y1, x2, y2, cls),
     zero-padded, descending score.
@@ -143,7 +151,7 @@ def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
                   odm_conf: Array, priors: Array, variances,
                   conf_thresh: float = 0.01, nms_thresh: float = 0.45,
                   top_k: int = 200, neg_anchor_thresh: float = 0.99,
-                  compact: bool = True, impl: str = "lax"):
+                  compact: bool = True, impl: str = "auto"):
     """RefineDet two-step decode + per-class NMS.
 
     arm_conf [B,P,2] and odm_conf [B,P,C] must be softmaxed (eval phase).
@@ -167,7 +175,7 @@ class DetectOut:
     (detection.py:12) for drop-in familiarity."""
 
     def __init__(self, num_classes, bkg_label, top_k, conf_thresh, nms_thresh,
-                 variance, impl="lax"):
+                 variance, impl="auto"):
         if nms_thresh <= 0:
             raise ValueError("nms_threshold must be non negative.")
         del num_classes, bkg_label  # implied by conf's shape / fixed 0

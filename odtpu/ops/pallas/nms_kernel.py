@@ -1,0 +1,142 @@
+"""Fused greedy-NMS Pallas kernel.
+
+One grid step handles one (image, class) candidate set: the [K, K] IoU
+matrix is built and consumed entirely in VMEM (the lax fallback
+materializes it in HBM per pair — ~100 MB of round-trip traffic for a
+B=32, C=21, K=200 eval batch), then the K-step greedy suppression runs
+as an in-kernel fori_loop over VMEM vectors.
+
+Semantics identical to odtpu.ops.nms._greedy_mask (which matches the
+reference while-loop, lib/layers/box_utils.py:279): candidates arrive
+score-sorted descending; candidate i, if still alive, kills every later
+candidate with IoU > threshold; entries with score <= score_thresh are
+dead on arrival. Union uses the reference's unclipped-area formula.
+
+Layout: K is padded to a multiple of 128 lanes; boxes ride as four
+separate [N, K] planes (x1, y1, x2, y2) so every in-kernel tensor is
+lane-aligned.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# pairs processed per grid step (sublane alignment wants multiples of 8)
+_ROWS = 8
+
+
+def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
+                *, iou_thresh: float, score_thresh: float, k: int):
+    x1 = x1_ref[:, :]  # [R, K] — R independent candidate sets
+    y1 = y1_ref[:, :]
+    x2 = x2_ref[:, :]
+    y2 = y2_ref[:, :]
+    scores = scores_ref[:, :]
+    R, K = x1.shape
+
+    area = (x2 - x1) * (y2 - y1)  # [R, K]
+    xx1 = jnp.maximum(x1[:, :, None], x1[:, None, :])  # [R, K, K]
+    yy1 = jnp.maximum(y1[:, :, None], y1[:, None, :])
+    xx2 = jnp.minimum(x2[:, :, None], x2[:, None, :])
+    yy2 = jnp.minimum(y2[:, :, None], y2[:, None, :])
+    w = jnp.maximum(xx2 - xx1, 0.0)
+    h = jnp.maximum(yy2 - yy1, 0.0)
+    inter = w * h
+    union = area[:, :, None] + area[:, None, :] - inter
+    iou = inter / union  # [R, K, K] in VMEM
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    alive0 = (scores > score_thresh) & (col < k)
+
+    later = col[:, None, :] > col[:, :, None]  # [R, K, K]
+    kill_mat = ((iou > iou_thresh) & later).astype(jnp.float32)
+
+    # Greedy suppression without ANY dynamic indexing (Mosaic forbids
+    # lane-dynamic reads): extract row i of the kill matrix and the
+    # scalar alive[i] per set via a one-hot MXU contraction.
+    col_f = col.astype(jnp.float32)
+
+    def body(i, alive):  # alive: [R, K] float 0/1
+        onehot = (col == i).astype(jnp.float32)  # [R, K]
+        alive_i = jnp.sum(alive * onehot, axis=1, keepdims=True)  # [R, 1]
+        # kills[r, j] = kill_mat[r, i, j] : batched (1xK)@(KxK) on the MXU
+        kills = jax.lax.dot_general(
+            onehot[:, None, :], kill_mat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # [R, K]
+        return alive * (1.0 - kills * alive_i)
+
+    alive = jax.lax.fori_loop(0, k, body, alive0.astype(jnp.float32))
+    alive_ref[:, :] = alive > 0.5
+
+
+@partial(jax.jit, static_argnames=("iou_thresh", "score_thresh"))
+def nms_mask_pallas(boxes: jax.Array, scores: jax.Array,
+                    iou_thresh: float, score_thresh: float = 0.0):
+    """Batched greedy-NMS alive mask.
+
+    Args:
+        boxes:  [N, K, 4] score-sorted (descending) point-form candidates.
+        scores: [N, K] matching scores.
+    Returns:
+        [N, K] bool alive mask.
+    """
+    N, K, _ = boxes.shape
+    Kp = _round_up(K, 128)
+    Np = _round_up(N, _ROWS)
+    if Kp - K or Np - N:
+        boxes = jnp.pad(boxes, ((0, Np - N), (0, Kp - K), (0, 0)))
+        scores = jnp.pad(scores, ((0, Np - N), (0, Kp - K)))
+
+    planes = [boxes[:, :, i] for i in range(4)]  # x1, y1, x2, y2 [Np, Kp]
+
+    spec = pl.BlockSpec((_ROWS, Kp), lambda n: (n, 0),
+                        memory_space=pltpu.VMEM)
+    alive = pl.pallas_call(
+        partial(_nms_kernel, iou_thresh=float(iou_thresh),
+                score_thresh=float(score_thresh), k=K),
+        out_shape=jax.ShapeDtypeStruct((Np, Kp), jnp.bool_),
+        grid=(Np // _ROWS,),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+    )(*planes, scores)
+    return alive[:N, :K]
+
+
+def per_class_nms_pallas(decoded: jax.Array, conf_fg: jax.Array,
+                         conf_thresh: float, nms_thresh: float,
+                         top_k: int):
+    """Drop-in for odtpu.ops.detect._per_class_nms with impl='pallas'.
+
+    decoded [B,P,4], conf_fg [B,P,C-1] -> [B, C-1, top_k, 5]."""
+    B, P, _ = decoded.shape
+    Cf = conf_fg.shape[-1]
+    k = min(top_k, P)
+
+    scores_bc = jnp.moveaxis(conf_fg, -1, 1).reshape(B * Cf, P)
+    top_scores, order = jax.lax.top_k(scores_bc, k)  # [N, k]
+    boxes_bc = jnp.broadcast_to(decoded[:, None], (B, Cf, P, 4))
+    boxes_bc = boxes_bc.reshape(B * Cf, P, 4)
+    top_boxes = jnp.take_along_axis(boxes_bc, order[..., None], axis=1)
+
+    alive = nms_mask_pallas(top_boxes, top_scores, nms_thresh, conf_thresh)
+
+    perm = jnp.argsort(~alive, axis=1, stable=True)
+    a = jnp.take_along_axis(alive, perm, axis=1).astype(top_scores.dtype)
+    row_scores = jnp.take_along_axis(top_scores, perm, axis=1) * a
+    row_boxes = jnp.take_along_axis(top_boxes, perm[..., None], axis=1) \
+        * a[..., None]
+    rows = jnp.concatenate([row_scores[..., None], row_boxes], axis=-1)
+    if k < top_k:
+        rows = jnp.pad(rows, ((0, 0), (0, top_k - k), (0, 0)))
+    return rows.reshape(B, Cf, top_k, 5)
