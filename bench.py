@@ -35,6 +35,8 @@ import numpy as np
 
 
 def main():
+    from odtpu.utils.platform import apply_platform_env
+    apply_platform_env()
     import cv2
     from odtpu.models import init_model, model_factory
     from odtpu.ops.detect import detect_out_compact

@@ -27,6 +27,8 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from odtpu.utils.platform import apply_platform_env
+    apply_platform_env()
     args = parse_args(argv)
     from odtpu.data import dataset_factory
     from odtpu.eval import eval_solver_factory

@@ -59,6 +59,8 @@ def setup(args):
 
 
 def main(argv=None):
+    from odtpu.utils.platform import apply_platform_env
+    apply_platform_env()
     args = parse_args(argv)
     cfg, out_dir, log_dir = setup(args)
 
