@@ -24,9 +24,10 @@ def dataset_factory(phase, cfg):
         dataset = COCODetection(cfg.DATASET.DATASET_DIR, sets)
     else:
         raise KeyError("unknown dataset {!r}".format(cfg.DATASET.NAME))
-    transform = SSDAugmentation(cfg.DATASET.IMAGE_SIZE,
-                                cfg.DATASET.PIXEL_MEANS,
-                                use_base=not train)
+    transform = SSDAugmentation(
+        cfg.DATASET.IMAGE_SIZE, cfg.DATASET.PIXEL_MEANS,
+        use_base=not train,
+        device_photometric=train and bool(cfg.DATASET.DEVICE_PHOTOMETRIC))
     num_pics = 0 if train else int(cfg.DATASET.NUM_EVAL_PICS)
     loader = DetLoader(
         dataset, transform,

@@ -179,10 +179,16 @@ class SSDAugmentation:
     transform (resize + mean-subtract only)."""
 
     def __init__(self, size=(300, 300), mean=(104, 117, 123),
-                 use_base: bool = False):
+                 use_base: bool = False, device_photometric: bool = False):
         self.size = tuple(size)
         self.mean = np.array(mean, dtype=np.float32)
         self.use_base = use_base
+        # device_photometric: host does only the shape-changing geometry
+        # and emits uint8 BGR; the train step applies PhotometricDistort
+        # + SubtractMeans + BGR->RGB on device (odtpu.data.device_aug).
+        # Order deviation vs reference (distort after resize instead of
+        # before expand) is documented in device_aug.py.
+        self.device_photometric = device_photometric
 
     def base(self, img):
         img = cv2.resize(img, (self.size[1], self.size[0])).astype(np.float32)
@@ -197,7 +203,8 @@ class SSDAugmentation:
         boxes = boxes.astype(np.float32).copy()
         boxes[:, 0::2] *= w  # to absolute
         boxes[:, 1::2] *= h
-        img = photometric_distort(img, rng)
+        if not self.device_photometric:
+            img = photometric_distort(img, rng)
         img, boxes = random_expand(img, boxes, rng, self.mean)
         img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
         img, boxes = random_mirror(img, boxes, rng)
@@ -205,4 +212,6 @@ class SSDAugmentation:
         boxes[:, 0::2] /= w  # to percent
         boxes[:, 1::2] /= h
         img = cv2.resize(img, (self.size[1], self.size[0]))
+        if self.device_photometric:
+            return np.clip(img, 0, 255).astype(np.uint8), boxes, labels
         return img - self.mean, boxes, labels

@@ -62,7 +62,13 @@ class DetLoader:
             k = min(len(boxes), m)
             pb[:k] = boxes[:k]
             pl[:k] = labels[:k]
-        img = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32)  # ->RGB
+        if img.dtype == np.uint8:
+            # device-photometric path: ship raw uint8 BGR; the train step
+            # handles distort + mean subtract + RGB flip on device
+            img = np.ascontiguousarray(img)
+        else:
+            img = np.ascontiguousarray(img[:, :, ::-1],
+                                       dtype=np.float32)  # -> RGB
         return img, pb, pl, rec["extra"], rec["img_id"]
 
     def _batches(self):

@@ -114,6 +114,9 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     has_bn = _model_has_bn(cfg)
     is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
     use_remat = bool(cfg.TPU.REMAT)
+    device_photo = bool(cfg.DATASET.DEVICE_PHOTOMETRIC)
+    pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
+    rep_w = float(cfg.LOSS.REPULSION_WEIGHT)
 
     def apply_model(params, batch_stats, images, train):
         variables = {"params": params}
@@ -128,7 +131,11 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     if use_remat:
         apply_model = jax.checkpoint(apply_model, static_argnums=(3,))
 
-    def loss_fn(params, batch_stats, priors_arg, images, boxes, labels):
+    def loss_fn(params, batch_stats, priors_arg, rng, images, boxes,
+                labels):
+        if device_photo:
+            from ..data.device_aug import preprocess_train_batch
+            images = preprocess_train_batch(images, rng, pixel_means)
         outputs, new_stats = apply_model(params, batch_stats, images, True)
         if is_refine:
             from ..layers.losses import refinedet_loss
@@ -155,11 +162,21 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
         loss = loc_w * loss_l + loss_c
         metrics = {"loss": loss, "loss_loc": loss_l, "loss_conf": loss_c,
                    "num_pos": out.num_pos}
+        if rep_w > 0:
+            from ..layers.losses import repulsion_loss
+            rep_sum, rep_n = repulsion_loss(loc, priors_arg, boxes, labels,
+                                            variances)
+            loss_rep = rep_sum / jnp.maximum(rep_n, 1).astype(jnp.float32)
+            loss = loss + rep_w * loss_rep
+            metrics["loss"] = loss
+            metrics["loss_repul"] = loss_rep
         return loss, (metrics, new_stats)
 
     def step(state: TrainState, priors_arg, images, boxes, labels):
+        rng = jax.random.fold_in(jax.random.PRNGKey(17),
+                                 state.step.astype(jnp.uint32))
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, priors_arg, images, boxes,
+            state.params, state.batch_stats, priors_arg, rng, images, boxes,
             labels)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -86,6 +86,9 @@ def default_cfg() -> AttrDict:
     # fixed-shape padding for variable-length ground truth (TPU-new):
     # targets are padded to [MAX_BOXES, 5] with label -1
     C.DATASET.MAX_BOXES = 60
+    # TPU-new: run PhotometricDistort + mean-subtract inside the train
+    # step (host ships uint8, 4x less H2D); False = reference host order
+    C.DATASET.DEVICE_PHOTOMETRIC = False
 
     # ---------------- Model ----------------
     C.MODEL = AttrDict()
@@ -115,6 +118,9 @@ def default_cfg() -> AttrDict:
     C.LOSS.OVERLAP_THRESH = 0.5
     C.LOSS.NEG_POS_RATIO = 3
     C.LOSS.LOC_WEIGHT = 1.0
+    # RepGT repulsion term weight (crowd scenes); 0 disables. The
+    # reference ships RepulsionLoss unwired (multibox_loss_backup.py).
+    C.LOSS.REPULSION_WEIGHT = 0.0
 
     # ---------------- Train ----------------
     C.TRAIN = AttrDict()

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Debug entry: build everything, run ONE training forward/backward and
+one eval pass, then exit — "does the pipeline run" smoke.
+
+Parity target: /root/reference/train_debug.py (train.py with the
+optimizer step disabled and an immediate return after the first eval).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+
+def main(argv=None):
+    from odtpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_name", default="ssd_vgg16_voc")
+    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg", default="")
+    args = p.parse_args(argv)
+
+    import jax
+    from odtpu.data import dataset_factory
+    from odtpu.eval import eval_solver_factory
+    from odtpu.models import model_factory
+    from odtpu.parallel import (create_train_state, make_eval_step,
+                                make_mesh, make_train_step, shard_batch)
+    from odtpu.utils.config import load_cfg
+
+    cfg_path = args.cfg or osp.join("cfgs", args.job_group,
+                                    args.cfg_name + ".yml")
+    cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
+    mesh = make_mesh(cfg)
+    print("mesh:", dict(mesh.shape))
+
+    model, priors, dims = model_factory("train", cfg)
+    print("feature maps:", dims)
+    state, tx = create_train_state(model, cfg, mesh=mesh)
+    step_fn = make_train_step(model, priors, cfg, tx, mesh=mesh)
+    eval_fn = make_eval_step(model, priors, cfg, mesh=mesh)
+
+    train_loader = dataset_factory("train", cfg)
+    batch = next(iter(train_loader))
+    sharded = shard_batch((batch["images"], batch["boxes"],
+                           batch["labels"]), mesh)
+    state, metrics = step_fn(state, *sharded)
+    print("one step: loss={:.4f} loc={:.4f} conf={:.4f} npos={}".format(
+        float(metrics["loss"]), float(metrics["loss_loc"]),
+        float(metrics["loss_conf"]), int(metrics["num_pos"])))
+
+    val_loader = dataset_factory("eval", cfg)
+    solver = eval_solver_factory(val_loader, cfg, "debug_eval_out")
+    res, maps = solver.validate(eval_fn, state.params, state.batch_stats)
+    print("eval ok: mAP", maps, "timing", solver.last_timing)
+
+
+if __name__ == "__main__":
+    main()
