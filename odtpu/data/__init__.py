@@ -29,12 +29,22 @@ def dataset_factory(phase, cfg):
         use_base=not train,
         device_photometric=train and bool(cfg.DATASET.DEVICE_PHOTOMETRIC))
     num_pics = 0 if train else int(cfg.DATASET.NUM_EVAL_PICS)
+    # multi-host: each process loads its slice and its share of the
+    # global batch (jax.distributed must be initialized by the caller)
+    import jax
+    world = jax.process_count()
+    rank = jax.process_index()
+    batch = (cfg.DATASET.TRAIN_BATCH_SIZE if train
+             else cfg.DATASET.EVAL_BATCH_SIZE)
+    if train and world > 1:
+        assert batch % world == 0, "global batch must divide process count"
+        batch //= world
     loader = DetLoader(
         dataset, transform,
-        batch_size=(cfg.DATASET.TRAIN_BATCH_SIZE if train
-                    else cfg.DATASET.EVAL_BATCH_SIZE),
+        batch_size=batch,
         max_boxes=int(cfg.DATASET.MAX_BOXES),
         shuffle=train, drop_last=train,
         num_workers=int(cfg.DATASET.NUM_WORKERS),
-        num_pics=num_pics)
+        num_pics=num_pics,
+        shard=(rank, world) if train else (0, 1))
     return loader

@@ -33,7 +33,10 @@ class DetLoader:
 
     def __init__(self, dataset, transform, batch_size, max_boxes=60,
                  shuffle=False, drop_last=False, num_workers=4, seed=0,
-                 num_pics=0):
+                 num_pics=0, shard=(0, 1)):
+        """shard=(rank, world): multi-host data parallelism — each host
+        loads its 1/world slice of the (shuffled) index space; the
+        per-host batch_size is the global batch / world."""
         self.dataset = dataset
         self.transform = transform
         self.batch_size = int(batch_size)
@@ -43,11 +46,14 @@ class DetLoader:
         self.num_workers = max(1, int(num_workers))
         self.seed = seed
         self.epoch = 0
+        self.shard = tuple(shard)
         n = len(dataset)
         self.num_items = min(n, num_pics) if num_pics else n
 
     def __len__(self):
-        n = self.num_items
+        rank, world = self.shard
+        n = len(range(rank, self.num_items, world)) if world > 1 \
+            else self.num_items
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
@@ -75,6 +81,9 @@ class DetLoader:
         order = np.arange(self.num_items)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
         bs = self.batch_size
         for i in range(0, len(order), bs):
             chunk = order[i:i + bs]

@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="")
     p.add_argument("--max_iter", type=int, default=0,
                    help="override cfg.TRAIN.MAX_ITER")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-slice "
+                        "DCN training; each host loads its data shard)")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of steps 10-20")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,10 @@ def main(argv=None):
     from odtpu.utils.platform import apply_platform_env
     apply_platform_env()
     args = parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
+        print("process {}/{}".format(jax.process_index(),
+                                     jax.process_count()))
     cfg, out_dir, log_dir = setup(args)
 
     from odtpu.data import dataset_factory
@@ -110,13 +119,28 @@ def main(argv=None):
     save_every = int(cfg.TRAIN.SAVE_ITER)
     eval_every = int(cfg.TRAIN.EVAL_ITER)
 
+    # archive the effective config with the run (reference backup_jobs,
+    # train.py:197-208 — done up front so crashes still leave a record)
+    import yaml as _yaml
+    with open(osp.join(out_dir, "config_used.yml"), "w") as f:
+        _yaml.safe_dump({k: str(v) for k, v in
+                         [("cfg", dict(cfg))]}, f)
+
     it = start_step
     timer = Timer()
     pending = None  # (step, metrics) not yet consumed
+    profiling = False
     while it < max_iter:
         for batch in train_loader:
             if it >= max_iter:
                 break
+            if args.profile_dir and it == 10 and not profiling:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            if profiling and it == 20:
+                jax.profiler.stop_trace()
+                profiling = False
+                print("profiler trace written to", args.profile_dir)
             timer.tic()
             sharded = shard_batch(
                 (batch["images"], batch["boxes"], batch["labels"]), mesh)
