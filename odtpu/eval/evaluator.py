@@ -18,7 +18,6 @@ batches are padded to the fixed batch size so the step never recompiles.
 
 from __future__ import annotations
 
-import os.path as osp
 import time
 
 import jax

@@ -22,8 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import Conv, L2Norm, xavier_uniform
-from .ssd import EXTRAS_SPEC, MultiBoxHead, parse_extras
+from .common import Conv, L2Norm
+from .ssd import MultiBoxHead, parse_extras
 
 
 def upsample_bilinear(x, size):

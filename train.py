@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
-import time
 
 import jax
 import numpy as np
@@ -77,8 +76,7 @@ def main(argv=None):
     from odtpu.eval import eval_solver_factory
     from odtpu.models import model_factory
     from odtpu.parallel import (create_train_state, make_eval_step,
-                                make_mesh, make_train_step, shard_batch,
-                                make_optimizer)
+                                make_mesh, make_train_step, shard_batch)
     from odtpu.utils.checkpoint import Checkpointer, load_backbone_npz
     from odtpu.utils.logging import TBWriter, Timer
 
@@ -122,9 +120,17 @@ def main(argv=None):
     # archive the effective config with the run (reference backup_jobs,
     # train.py:197-208 — done up front so crashes still leave a record)
     import yaml as _yaml
+
+    def _plain(x):
+        if isinstance(x, dict):
+            return {k: _plain(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_plain(v) for v in x]
+        return x if isinstance(x, (int, float, bool, str, type(None))) \
+            else str(x)
+
     with open(osp.join(out_dir, "config_used.yml"), "w") as f:
-        _yaml.safe_dump({k: str(v) for k, v in
-                         [("cfg", dict(cfg))]}, f)
+        _yaml.safe_dump(_plain(cfg), f)
 
     it = start_step
     timer = Timer()
