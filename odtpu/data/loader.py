@@ -103,13 +103,15 @@ class DetLoader:
         stop = threading.Event()
 
         def worker(wid):
-            rng = np.random.default_rng(
-                (self.seed, self.epoch, wid))
             while not stop.is_set():
                 try:
                     bi, chunk = work.get_nowait()
                 except queue.Empty:
                     return
+                # RNG keyed by (seed, epoch, batch index): augmentation
+                # draws don't depend on which worker thread picked the
+                # batch up — fully reproducible across runs
+                rng = np.random.default_rng((self.seed, self.epoch, bi))
                 items = [self._item(int(j), rng) for j in chunk]
                 imgs = np.stack([it[0] for it in items])
                 boxes = np.stack([it[1] for it in items])

@@ -59,6 +59,9 @@ def main():
     apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--only", default="",
+                   help="substring filter on the model name (one model "
+                        "per process avoids tunnel wedging)")
     args = p.parse_args()
 
     import jax
@@ -71,6 +74,8 @@ def main():
     print("{:<22} {:>6} {:>12} {:>12}".format(
         "model", "batch", "ms/batch", "img/s"))
     for (name, ssd_type, base, size, B) in FAMILIES:
+        if args.only and args.only.lower() not in name.lower():
+            continue
         try:
             cfg = build_cfg(ssd_type, base, size)
             model, priors, _ = model_factory("eval", cfg)
