@@ -74,6 +74,9 @@ class EvalBase:
             det[..., 4] *= h
             if det.ndim == 4:
                 det = self._dense_to_rows(det)
+            if (tb_writer is not None and self.cfg.LOG.SHOW_TEST_IMAGE
+                    and img_idx == 0):
+                self._log_test_images(batch, det, valid, tb_writer)
             img_idx = self.accumulate(det, batch["extra"][:valid],
                                       batch["ids"][:valid], img_idx)
             n_images += valid
@@ -82,6 +85,27 @@ class EvalBase:
                             "images": n_images,
                             "ips": n_images / max(total, 1e-9)}
         return self.evaluate_stats(tb_writer)
+
+    def _log_test_images(self, batch, det, valid, tb_writer, thresh=0.5):
+        """Detection-vs-input overlays for the first eval batch
+        (reference visualize_box, evaluate_utils.py:81-112, gated by
+        LOG.SHOW_TEST_IMAGE)."""
+        from ..utils.visualize import vis_img_box
+        mean = np.asarray(self.cfg.DATASET.PIXEL_MEANS, np.float32)
+        for b in range(min(valid, 4)):
+            img = batch["images"][b]
+            if img.dtype != np.uint8:  # undo mean-subtract + RGB flip
+                img = np.clip(img[:, :, ::-1] + mean, 0, 255)
+            h, w = img.shape[:2]
+            rows = det[b]
+            rows = rows[rows[:, 0] > thresh].copy()
+            # det is in original-image pixels; rescale to network input
+            oh = batch["extra"][b, 0]
+            ow = batch["extra"][b, 1]
+            rows[:, [1, 3]] *= w / ow
+            rows[:, [2, 4]] *= h / oh
+            vis_img_box(img.astype(np.uint8), {"pred": rows}, tb_writer,
+                        tag="eval/detections", step=b)
 
     @staticmethod
     def _dense_to_rows(det):
@@ -127,7 +151,9 @@ class EvalVOC(EvalBase):
             self.results, self.loader.dataset, self.output_dir,
             test_set=self.test_set,
             use_07_metric=bool(self.cfg.EVAL.USE_07_METRIC))
-        if tb_writer is not None:
+        # PR curves gated like the reference (LOG.SHOW_PR_CURVE,
+        # evaluate_utils.py:160)
+        if tb_writer is not None and self.cfg.LOG.SHOW_PR_CURVE:
             tb_writer.add_pr_curves(res)
         return res, [mAP]
 

@@ -13,10 +13,25 @@ import os
 
 
 def apply_platform_env():
+    import jax
+
+    # persistent XLA compilation cache: first compile of SSD300 is
+    # ~30-60s; cached reruns of any CLI start in seconds. Opt out with
+    # ODTPU_NO_COMPILE_CACHE=1.
+    if not os.environ.get("ODTPU_NO_COMPILE_CACHE"):
+        cache = os.environ.get("ODTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/odtpu-xla"))
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+
     plat = os.environ.get("JAX_PLATFORMS", "").strip()
     if not plat:
         return
-    import jax
     try:
         jax.config.update("jax_platforms", plat)
     except Exception:
