@@ -74,8 +74,8 @@ class EvalBase:
             det[..., 4] *= h
             if det.ndim == 4:
                 det = self._dense_to_rows(det)
-            if (tb_writer is not None and self.cfg.LOG.SHOW_TEST_IMAGE
-                    and img_idx == 0):
+            if (tb_writer is not None and tb_writer.writer is not None
+                    and self.cfg.LOG.SHOW_TEST_IMAGE and img_idx == 0):
                 self._log_test_images(batch, det, valid, tb_writer)
             img_idx = self.accumulate(det, batch["extra"][:valid],
                                       batch["ids"][:valid], img_idx)
@@ -104,8 +104,15 @@ class EvalBase:
             ow = batch["extra"][b, 1]
             rows[:, [1, 3]] *= w / ow
             rows[:, [2, 4]] *= h / oh
-            vis_img_box(img.astype(np.uint8), {"pred": rows}, tb_writer,
-                        tag="eval/detections", step=b)
+            # ground truth (normalized) -> network-input pixels
+            valid_gt = batch["labels"][b] >= 0
+            gt = np.concatenate(
+                [batch["boxes"][b][valid_gt]
+                 * np.array([w, h, w, h], np.float32),
+                 batch["labels"][b][valid_gt, None].astype(np.float32) + 1],
+                axis=1)
+            vis_img_box(img.astype(np.uint8), {"gt": gt, "pred": rows},
+                        tb_writer, tag="eval/detections", step=b)
 
     @staticmethod
     def _dense_to_rows(det):

@@ -18,7 +18,8 @@ def apply_platform_env():
     # persistent XLA compilation cache: first compile of SSD300 is
     # ~30-60s; cached reruns of any CLI start in seconds. Opt out with
     # ODTPU_NO_COMPILE_CACHE=1.
-    if not os.environ.get("ODTPU_NO_COMPILE_CACHE"):
+    opt_out = os.environ.get("ODTPU_NO_COMPILE_CACHE", "").strip().lower()
+    if opt_out not in ("1", "true", "yes"):
         cache = os.environ.get("ODTPU_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/odtpu-xla"))
         try:
