@@ -91,6 +91,10 @@ class DetLoader:
                 return
             yield chunk
 
+    # batches prepared ahead of consumption (bounds host memory: without
+    # it, fast workers would decode a whole epoch into RAM)
+    PREFETCH = 8
+
     def __iter__(self):
         self.epoch += 1
         work: "queue.Queue" = queue.Queue()
@@ -98,28 +102,34 @@ class DetLoader:
         lock = threading.Lock()
         cv = threading.Condition(lock)
         batches = list(self._batches())
-        for bi, chunk in enumerate(batches):
-            work.put((bi, chunk))
+        n = len(batches)
+        ahead = min(self.PREFETCH + self.num_workers, n)
+        for bi in range(ahead):
+            work.put((bi, batches[bi]))
+        next_to_queue = ahead
         stop = threading.Event()
 
         def worker(wid):
             while not stop.is_set():
                 try:
-                    bi, chunk = work.get_nowait()
+                    bi, chunk = work.get(timeout=0.2)
                 except queue.Empty:
-                    return
+                    continue  # re-check stop; more work may arrive
                 # RNG keyed by (seed, epoch, batch index): augmentation
                 # draws don't depend on which worker thread picked the
                 # batch up — fully reproducible across runs
                 rng = np.random.default_rng((self.seed, self.epoch, bi))
-                items = [self._item(int(j), rng) for j in chunk]
-                imgs = np.stack([it[0] for it in items])
-                boxes = np.stack([it[1] for it in items])
-                labels = np.stack([it[2] for it in items])
-                extras = np.stack([it[3] for it in items])
-                ids = [it[4] for it in items]
-                batch = {"images": imgs, "boxes": boxes, "labels": labels,
-                         "extra": extras, "ids": ids}
+                try:
+                    items = [self._item(int(j), rng) for j in chunk]
+                    batch = {
+                        "images": np.stack([it[0] for it in items]),
+                        "boxes": np.stack([it[1] for it in items]),
+                        "labels": np.stack([it[2] for it in items]),
+                        "extra": np.stack([it[3] for it in items]),
+                        "ids": [it[4] for it in items],
+                    }
+                except Exception as e:  # surface to the consumer
+                    batch = e
                 with cv:
                     done[bi] = batch
                     cv.notify_all()
@@ -129,11 +139,24 @@ class DetLoader:
         for t in threads:
             t.start()
         try:
-            for bi in range(len(batches)):
+            for bi in range(n):
                 with cv:
                     while bi not in done:
-                        cv.wait(timeout=60.0)
-                yield done.pop(bi)
+                        cv.wait(timeout=1.0)
+                        if bi not in done and not any(
+                                t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "all loader workers exited before batch "
+                                "{} was produced".format(bi))
+                    batch = done.pop(bi)
+                if isinstance(batch, Exception):
+                    raise RuntimeError(
+                        "loader worker failed on batch {}".format(bi)
+                    ) from batch
+                if next_to_queue < n:
+                    work.put((next_to_queue, batches[next_to_queue]))
+                    next_to_queue += 1
+                yield batch
         finally:
             stop.set()
 

@@ -209,11 +209,11 @@ def repulsion_loss(loc_pred: Array, priors: Array, gt_boxes: Array,
     def per_image(loc_p, boxes, labels):
         from ..ops.matching import match  # local to avoid cycle
         _, conf_t, best_idx = match(boxes, labels, priors, variances, 0.5)
-        second = match_second_best(loc_p, boxes, labels, priors, variances,
-                                   best_idx)
+        second, has_second = match_second_best(loc_p, boxes, labels, priors,
+                                               variances, best_idx)
         decoded = decode(loc_p, priors, variances)
         overlap = iog(second, decoded)  # [P]
-        pos = conf_t > 0
+        pos = (conf_t > 0) & has_second
         pen = _smooth_ln(overlap, sigma)
         return jnp.sum(jnp.where(pos, pen, 0.0)), pos.sum()
 

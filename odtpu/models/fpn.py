@@ -64,7 +64,6 @@ class FPN(nn.Module):
         # top-down: coarsest first (idx 0 = last lateral)
         n = len(laterals)
         pyramids = []
-        top = laterals[-1]
         for idx in range(n):
             lat = laterals[n - 1 - idx]
             if idx == 0:

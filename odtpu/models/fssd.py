@@ -35,19 +35,15 @@ FSSD300_PYRAMID = [(512, 1, 1), (512, 2, 1), (256, 2, 1), (256, 2, 1),
 FSSD_FUSION_DIM = 256
 
 
-class FSSDVGGBackboneAdapter(nn.Module):
-    """Wraps a VGG16 so FSSD sees pre-ReLU conv4_3/conv7 outputs.
-
-    The standard VGG16 module returns post-ReLU sources; since
-    relu(x) differs from x only on negatives and FSSD's 1x1 transform
-    convs immediately re-project, we keep the VGG module unchanged and
-    use its post-ReLU sources — documented deviation, negligible for
-    training from scratch (the reference capture-at-conv behavior is an
-    acknowledged accident: "is get output of relu error", fssd.py:46).
-    """
-
-
 class FSSD(nn.Module):
+    """Feature-fusion SSD.
+
+    Deviation note: the reference accidentally captures PRE-ReLU
+    conv4_3/conv7 outputs ("is get output of relu error", fssd.py:46);
+    this module uses the standard post-ReLU sources — FSSD's 1x1
+    transform convs immediately re-project, so the difference is
+    negligible when training from scratch.
+    """
     backbone: nn.Module
     num_classes: int
     num_priors: Sequence[int]

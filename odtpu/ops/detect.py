@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import center_size, decode
-from .nms import _greedy_mask
+from .nms import nms_rows
 
 Array = jax.Array
 
@@ -52,20 +52,8 @@ def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
         return per_class_nms_pallas(decoded, conf_fg, conf_thresh,
                                     nms_thresh, top_k)
 
-    P = decoded.shape[1]
-
     def one_class(boxes, scores):
-        k = min(top_k, P)
-        top_scores, order = jax.lax.top_k(scores, k)
-        top_boxes = jnp.take(boxes, order, axis=0)
-        alive = _greedy_mask(top_boxes, top_scores, nms_thresh, conf_thresh)
-        perm = jnp.argsort(~alive, stable=True)
-        a = alive[perm].astype(top_scores.dtype)
-        row_scores = jnp.take(top_scores, perm) * a
-        row_boxes = jnp.take(top_boxes, perm, axis=0) * a[:, None]
-        rows = jnp.concatenate([row_scores[:, None], row_boxes], axis=1)
-        if k < top_k:
-            rows = jnp.pad(rows, ((0, top_k - k), (0, 0)))
+        rows, _ = nms_rows(boxes, scores, nms_thresh, top_k, conf_thresh)
         return rows
 
     per_image = jax.vmap(one_class, in_axes=(None, 1))  # over classes

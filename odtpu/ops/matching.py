@@ -86,7 +86,8 @@ def match_second_best(pred_loc: Array, truths: Array, labels: Array,
     IoU(truths, decode(pred)) with each prior's assigned-GT row masked to -1,
     then argmax over GT).
 
-    Returns [P, 4] point-form boxes of the second-best GT per prior.
+    Returns ([P, 4] point-form second-best GT per prior,
+             [P] bool — a distinct overlapping second GT exists).
     """
     valid = labels >= 0
     decoded = decode(pred_loc, priors, variances)  # [P, 4]
@@ -95,5 +96,11 @@ def match_second_best(pred_loc: Array, truths: Array, labels: Array,
     G = truths.shape[0]
     assigned = jax.nn.one_hot(best_truth_idx, G, dtype=bool).T  # [G, P]
     overlaps = jnp.where(assigned, -1.0, overlaps)
+    second_overlap = jnp.max(overlaps, axis=0)  # [P]
     second_idx = jnp.argmax(overlaps, axis=0)  # [P]
-    return truths[second_idx]
+    # has_second guards the single-GT case: with one valid GT every
+    # remaining column is -1 and argmax would return the assigned GT
+    # itself — repulsion must not push a prediction away from its only
+    # target. Also require actual overlap (> 0) like the paper's RepGT.
+    has_second = second_overlap > 0.0
+    return truths[second_idx], has_second

@@ -43,6 +43,29 @@ def _iou_matrix(boxes: Array) -> Array:
     return inter / union
 
 
+def nms_rows(boxes: Array, scores: Array, iou_thresh: float,
+             top_k: int, score_thresh: float = 0.0):
+    """Greedy NMS -> packed rows.
+
+    [N,4],[N] -> ([top_k, 5] rows (score, x1, y1, x2, y2), descending
+    score, zero-padded; count of kept boxes). Shared core of nms() and
+    the detect path's per-class NMS."""
+    n = scores.shape[0]
+    k = min(top_k, n)
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = jnp.take(boxes, order, axis=0)
+    alive = _greedy_mask(top_boxes, top_scores, iou_thresh, score_thresh)
+    # compact kept candidates to the front, preserving score order
+    perm = jnp.argsort(~alive, stable=True)
+    a = alive[perm].astype(top_scores.dtype)
+    row_scores = jnp.take(top_scores, perm) * a
+    row_boxes = jnp.take(top_boxes, perm, axis=0) * a[:, None]
+    rows = jnp.concatenate([row_scores[:, None], row_boxes], axis=1)
+    if k < top_k:
+        rows = jnp.pad(rows, ((0, top_k - k), (0, 0)))
+    return rows, alive.sum().astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def nms(boxes: Array, scores: Array, iou_thresh: float, top_k: int = 200,
         score_thresh: float = 0.0):
@@ -58,23 +81,8 @@ def nms(boxes: Array, scores: Array, iou_thresh: float, top_k: int = 200,
         keep_scores: [top_k] kept scores, zero-padded.
         count: int32 number of kept boxes.
     """
-    n = scores.shape[0]
-    k = min(top_k, n)
-    top_scores, order = jax.lax.top_k(scores, k)
-    top_boxes = jnp.take(boxes, order, axis=0)
-
-    alive = _greedy_mask(top_boxes, top_scores, iou_thresh, score_thresh)
-
-    # compact kept candidates to the front, preserving descending-score order
-    perm = jnp.argsort(~alive, stable=True)
-    out_boxes = jnp.take(top_boxes, perm, axis=0) * alive[perm][:, None]
-    out_scores = jnp.take(top_scores, perm) * alive[perm]
-    count = alive.sum().astype(jnp.int32)
-    if k < top_k:
-        pad = top_k - k
-        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
-        out_scores = jnp.pad(out_scores, ((0, pad),))
-    return out_boxes, out_scores, count
+    rows, count = nms_rows(boxes, scores, iou_thresh, top_k, score_thresh)
+    return rows[:, 1:], rows[:, 0], count
 
 
 def _greedy_mask(top_boxes: Array, top_scores: Array, iou_thresh: float,

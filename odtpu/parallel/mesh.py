@@ -82,6 +82,17 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (leading batch dim) onto the data axis."""
+    """Place a host batch (leading batch dim) onto the data axis.
+
+    Single-process: a plain device_put with the batch sharding.
+    Multi-host: each process holds its LOCAL rows (dataset_factory
+    shards the index space), so the global array must be assembled with
+    make_array_from_process_local_data — device_put would treat the
+    local batch as the global value.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), batch)

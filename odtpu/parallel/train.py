@@ -37,7 +37,12 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def lr_schedule(cfg):
-    """Step decay (+optional linear warmup)."""
+    """Step decay (+optional linear warmup).
+
+    Warmup overlays the first WARMUP_ITERS steps without shifting the
+    decay boundaries (optax.join_schedules would offset the second
+    schedule's step count, moving every decay later by WARMUP_ITERS).
+    """
     opt = cfg.TRAIN.OPTIMIZER
     sch = cfg.TRAIN.LR_SCHEDULER
     base = float(opt.LR)
@@ -46,8 +51,11 @@ def lr_schedule(cfg):
     decay = optax.piecewise_constant_schedule(base, boundaries)
     warm = int(sch.WARMUP_ITERS)
     if warm > 0:
-        warmup = optax.linear_schedule(base * 0.1, base, warm)
-        return optax.join_schedules([warmup, decay], [warm])
+        def sched(step):
+            frac = jnp.clip(step / warm, 0.0, 1.0)
+            warm_lr = base * (0.1 + 0.9 * frac)
+            return jnp.where(step < warm, warm_lr, decay(step))
+        return sched
     return decay
 
 

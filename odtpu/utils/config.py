@@ -72,7 +72,9 @@ def default_cfg() -> AttrDict:
     C.DATASET = AttrDict()
     C.DATASET.NAME = "VOC0712"
     C.DATASET.SUB_DIR = "VOCdevkit"
-    C.DATASET.DATASET_DIR = osp.join(C.GENERAL.ROOT_DIR, "data", "VOCdevkit")
+    # "" = derive from ROOT_DIR/data/SUB_DIR in update_cfg; an explicit
+    # path (YAML or code) is respected
+    C.DATASET.DATASET_DIR = ""
     C.DATASET.TRAIN_SETS = (("2007", "trainval"), ("2012", "trainval"))
     C.DATASET.TEST_SETS = (("2007", "test"),)
     C.DATASET.NUM_CLASSES = 20
@@ -181,11 +183,16 @@ def load_cfg(cfg_filename=None):
 
 
 def update_cfg(c=None):
-    """Derived values (reference: lib/utils/config.py:183-186)."""
+    """Derived values (reference: lib/utils/config.py:183-186).
+
+    DATASET_DIR is derived from ROOT_DIR/SUB_DIR only when the user did
+    not set it explicitly (the reference silently clobbers an explicit
+    value — acknowledged error-prone there, "TODO this is error prone").
+    """
     c = cfg if c is None else c
-    c.DATASET.DATASET_DIR = osp.abspath(
-        osp.join(c.GENERAL.ROOT_DIR, "data", c.DATASET.SUB_DIR)
-    )
+    if not c.DATASET.DATASET_DIR:
+        c.DATASET.DATASET_DIR = osp.abspath(
+            osp.join(c.GENERAL.ROOT_DIR, "data", c.DATASET.SUB_DIR))
     c.MODEL.NUM_CLASSES = c.DATASET.NUM_CLASSES + 1  # + background
     c.MODEL.IMAGE_SIZE = c.DATASET.IMAGE_SIZE
     return c
