@@ -56,12 +56,13 @@ def test_device_photometric_train_descends(tmp_path, rng):
 
     loader = dataset_factory("train", cfg)
     losses = []
-    for epoch in range(2):
+    for epoch in range(3):
         for batch in loader:
             assert batch["images"].dtype == np.uint8
             sharded = shard_batch((batch["images"], batch["boxes"],
                                    batch["labels"]), mesh)
             state, m = step(state, *sharded)
             losses.append(float(m["loss"]))
+    assert len(losses) >= 3
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    assert losses[-1] < losses[0]
