@@ -11,9 +11,12 @@ from odtpu.data.voc import VOC_CLASSES
 
 
 def make_voc(root, year="2007", setname="test", n_images=8, seed=0,
-             min_size=200, max_size=400):
+             min_size=200, max_size=400, num_classes=20):
     """Create a tiny VOCdevkit tree with random images + box annotations.
-    Returns list of (img_id, boxes_abs, labels)."""
+    Rectangle colors are a deterministic function of the class so the
+    class signal is learnable. Returns list of (img_id, boxes_abs,
+    labels)."""
+    palette = np.random.RandomState(99).randint(30, 255, (20, 3))
     rng = np.random.RandomState(seed)
     base = osp.join(root, "VOC" + year)
     os.makedirs(osp.join(base, "JPEGImages"), exist_ok=True)
@@ -35,9 +38,9 @@ def make_voc(root, year="2007", setname="test", n_images=8, seed=0,
             y1 = rng.randint(0, h - 40)
             x2 = rng.randint(x1 + 20, min(x1 + w // 2 + 21, w))
             y2 = rng.randint(y1 + 20, min(y1 + h // 2 + 21, h))
-            cls = int(rng.randint(0, 20))
+            cls = int(rng.randint(0, num_classes))
             cv2.rectangle(img, (x1, y1), (x2, y2),
-                          tuple(int(v) for v in rng.randint(0, 255, 3)), -1)
+                          tuple(int(v) for v in palette[cls]), -1)
             boxes.append([x1, y1, x2, y2])
             labels.append(cls)
             objs.append(

@@ -42,9 +42,9 @@ def main():
     root = args.tmp or tempfile.mkdtemp(prefix="odtpu_synth_")
     devkit = osp.join(root, "VOCdevkit")
     make_voc(devkit, setname="train", n_images=64, seed=100,
-             min_size=120, max_size=200)
+             min_size=120, max_size=200, num_classes=5)
     make_voc(devkit, setname="test", n_images=16, seed=200,
-             min_size=120, max_size=200)
+             min_size=120, max_size=200, num_classes=5)
 
     cfg = default_cfg()
     if jax.default_backend() != "tpu":
