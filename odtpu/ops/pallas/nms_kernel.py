@@ -53,7 +53,10 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
     h = jnp.maximum(yy2 - yy1, 0.0)
     inter = w * h
     union = area[:, :, None] + area[:, None, :] - inter
-    iou = inter / union  # [R, K, K] in VMEM
+    # zero-padded candidate rows give 0/0 here; clamp the denominator so
+    # the kernel never divides by zero (padded rows are dead via alive0
+    # anyway, and real unions are never this small)
+    iou = inter / jnp.where(jnp.abs(union) > 1e-12, union, 1e-12)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
     alive0 = (scores > score_thresh) & (col < k)
@@ -76,8 +79,10 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
             preferred_element_type=jnp.float32)[:, 0, :]  # [R, K]
         return alive * (1.0 - kills * alive_i)
 
+    # output stays f32: an 8-bit (bool/int8) output block of (8, K) rows
+    # violates the int8 (32, 128) min-tile; f32 tiles at (8, 128)
     alive = jax.lax.fori_loop(0, k, body, alive0.astype(jnp.float32))
-    alive_ref[:, :] = alive > 0.5
+    alive_ref[:, :] = alive
 
 
 @partial(jax.jit, static_argnames=("iou_thresh", "score_thresh"))
@@ -105,12 +110,12 @@ def nms_mask_pallas(boxes: jax.Array, scores: jax.Array,
     alive = pl.pallas_call(
         partial(_nms_kernel, iou_thresh=float(iou_thresh),
                 score_thresh=float(score_thresh), k=K),
-        out_shape=jax.ShapeDtypeStruct((Np, Kp), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((Np, Kp), jnp.float32),
         grid=(Np // _ROWS,),
         in_specs=[spec] * 5,
         out_specs=spec,
     )(*planes, scores)
-    return alive[:N, :K]
+    return alive[:N, :K] > 0.5
 
 
 def per_class_nms_pallas(decoded: jax.Array, conf_fg: jax.Array,
