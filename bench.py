@@ -119,15 +119,30 @@ def main():
             signal.signal(signal.SIGALRM, old)
 
     def _b1_latency():
+        # lax NMS path at B=1: the fused kernel faulted the TPU worker at
+        # tiny grid sizes on this tunnel (fix pending hardware verify)
+        from odtpu.ops.detect import detect_out_compact as _doc
+
+        def infer1_fn(variables, priors, x_u8, mean):
+            x = x_u8.astype(jnp.float32) - mean
+            x = x[..., ::-1]
+            loc, conf = model.apply(variables, x, phase="eval",
+                                    train=False)
+            return _doc(loc, conf, priors, variances,
+                        conf_thresh=float(cfg.EVAL.CONF_THRESH),
+                        nms_thresh=float(cfg.EVAL.NMS_THRESH),
+                        top_k=int(cfg.EVAL.TOP_K), impl="lax")
+
+        infer1 = jax.jit(infer1_fn)
         x1 = jax.device_put(make_batch()[:1], device)
-        out = infer(variables, priors, x1, mean_dev)
+        out = infer1(variables, priors, x1, mean_dev)
         np.asarray(out)  # compile
         lat1 = []
         for _ in range(10):
             t1 = time.time()
             xb = cv2.resize(raw[0], (300, 300))[None]
-            out = infer(variables, priors, jax.device_put(xb, device),
-                        mean_dev)
+            out = infer1(variables, priors, jax.device_put(xb, device),
+                         mean_dev)
             np.asarray(out)
             lat1.append(time.time() - t1)
         return round(float(np.percentile(lat1, 50) * 1000), 2)
