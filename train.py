@@ -56,6 +56,11 @@ def setup(args):
     name = args.cfg_name
     out = args.output_dir or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
                                       args.job_group, name)
+    if osp.isdir(out) and os.listdir(out) and not args.resume:
+        # reference warns (and sleeps 10s) before reusing an experiment
+        # dir (lib/utils/utils.py:56-64); we warn without the sleep
+        print("WARNING: output dir {} already exists — checkpoints/logs "
+              "may be overwritten".format(out))
     os.makedirs(out, exist_ok=True)
     log_dir = osp.join(cfg.LOG.ROOT_DIR,
                        "{}_{}".format(args.job_group, name))
