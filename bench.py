@@ -26,12 +26,31 @@ arguments.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _tunnel_alive(seconds=90):
+    """True if a trivial device round-trip completes within the deadline.
+    Runs in a SUBPROCESS: a wedged axon tunnel blocks inside C calls
+    where SIGALRM is never delivered, so in-process deadlines can't
+    interrupt it."""
+    import subprocess
+    snippet = ("import jax, numpy as np;"
+               "x = jax.device_put(np.ones(64, np.float32));"
+               "print(int(float(np.asarray(x).sum())))")
+    try:
+        r = subprocess.run([sys.executable, "-c", snippet],
+                           capture_output=True, timeout=seconds, text=True)
+        return "64" in r.stdout
+    except Exception:
+        return False
 
 
 def main():
@@ -41,6 +60,24 @@ def main():
     from odtpu.models import init_model, model_factory
     from odtpu.ops.detect import detect_out_compact
     from odtpu.utils.config import default_cfg
+
+    # health-gate BEFORE any in-process jax backend init: a wedged tunnel
+    # blocks the first device query forever and no JSON would print
+    want_tpu = (os.environ.get("JAX_PLATFORMS", "").strip() != "cpu"
+                and os.environ.get("ODTPU_BENCH_FALLBACK") != "1")
+    if want_tpu:
+        ok = _tunnel_alive()
+        for _ in range(4):
+            if ok:
+                break
+            time.sleep(120)
+            ok = _tunnel_alive()
+        if not ok:
+            # TPU unreachable: re-exec on CPU so a JSON line still lands
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       ODTPU_BENCH_FALLBACK="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
 
     cfg = default_cfg()
     on_tpu = jax.default_backend() == "tpu"
