@@ -179,7 +179,8 @@ class SSDAugmentation:
     transform (resize + mean-subtract only)."""
 
     def __init__(self, size=(300, 300), mean=(104, 117, 123),
-                 use_base: bool = False, device_photometric: bool = False):
+                 use_base: bool = False, device_photometric: bool = False,
+                 device_normalize: bool = False):
         self.size = tuple(size)
         self.mean = np.array(mean, dtype=np.float32)
         self.use_base = use_base
@@ -189,10 +190,17 @@ class SSDAugmentation:
         # Order deviation vs reference (distort after resize instead of
         # before expand) is documented in device_aug.py.
         self.device_photometric = device_photometric
+        # device_normalize (eval path): emit resized uint8 BGR; the eval
+        # step subtracts means + flips channels on device. EXACT parity:
+        # the reference also resizes uint8 before the f32 subtract
+        # (augmentations.py:94,61), and u8 ships 4x fewer bytes.
+        self.device_normalize = device_normalize
 
     def base(self, img):
-        img = cv2.resize(img, (self.size[1], self.size[0])).astype(np.float32)
-        return img - self.mean
+        img = cv2.resize(img, (self.size[1], self.size[0]))
+        if self.device_normalize:
+            return np.ascontiguousarray(img)  # uint8 BGR
+        return img.astype(np.float32) - self.mean
 
     def __call__(self, img, boxes=None, labels=None, rng=None):
         if self.use_base or boxes is None or len(boxes) == 0:

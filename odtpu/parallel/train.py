@@ -225,7 +225,15 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=True):
     is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
     detect = detect_out_compact if compact else detect_out
 
+    pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
+
     def step(params, batch_stats, priors_arg, images):
+        if images.dtype == jnp.uint8:
+            # device-side normalization (exact reference math: u8 resize
+            # then f32 mean subtract, then BGR->RGB — det_dataset.py:49)
+            images = images.astype(jnp.float32) \
+                - jnp.asarray(pixel_means, jnp.float32)
+            images = images[..., ::-1]
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
