@@ -73,7 +73,7 @@ def photometric_distort_device(images: Array, rng: jax.Array) -> Array:
     keys = jax.random.split(rng, B)
 
     def one(img, key):
-        ks = jax.random.split(key, 10)
+        ks = jax.random.split(key, 11)
         # brightness
         img = jnp.where(jax.random.bernoulli(ks[0]),
                         img + jax.random.uniform(ks[1], (), minval=-32.0,
@@ -91,10 +91,13 @@ def photometric_distort_device(images: Array, rng: jax.Array) -> Array:
             jnp.where(jax.random.bernoulli(ks[8]), hue, 0.0))
         img = _hsv_to_rgb(hsv)
         img = jnp.where(~contrast_first & do_c1, img * alpha1, img)
-        # lighting noise: random channel permutation
+        # lighting noise: random channel permutation. The apply gate and
+        # the permutation choice draw from INDEPENDENT keys (reference
+        # RandomLightingNoise, augmentations.py:125-137, draws them from
+        # independent np.random calls).
         perm = _PERMS[jax.random.randint(ks[9], (), 0, 6)]
         img_perm = jnp.take(img, perm, axis=-1)
-        img = jnp.where(jax.random.bernoulli(ks[9]), img_perm, img)
+        img = jnp.where(jax.random.bernoulli(ks[10]), img_perm, img)
         return img
 
     return jax.vmap(one)(images, keys)

@@ -46,9 +46,13 @@ class EvalBase:
         raise NotImplementedError
 
     def validate(self, eval_step, params, batch_stats=None, tb_writer=None):
-        """eval_step(params, batch_stats, images[B,H,W,3]) -> either the
-        dense contract tensor [B, C, top_k, 5] or the compact cross-class
-        form [B, N, 6] (score, x1, y1, x2, y2, cls) — normalized coords.
+        """eval_step(params, batch_stats, images[B,H,W,3]) -> one of:
+        the dense contract tensor [B, C, top_k, 5]; compact cross-class
+        rows [B, N, 6] (score, x1, y1, x2, y2, cls); or a dict
+        {"rows": [B, N, 6], "dropped": [B]} where "dropped" counts
+        per-class NMS survivors the cross-class cap discarded (the
+        reference returns ALL survivors — nonzero dropped flags a
+        potential mAP deviation, reported in last_timing and stderr).
         Compact keeps the device->host copy tiny (the tunneled-TPU D2H
         path is orders of magnitude slower than compute)."""
         self.reset_results()
@@ -56,13 +60,17 @@ class EvalBase:
         t_detect = 0.0
         t0 = time.time()
         n_images = 0
+        n_dropped = 0
         for batch in self.loader:
             batch, valid = pad_batch_to(batch, self.batch_size)
             t1 = time.time()
             det = eval_step(params, batch_stats, batch["images"])
-            det = np.asarray(jax.device_get(det))
+            det = jax.device_get(det)
             t_detect += time.time() - t1
-            det = det[:valid].copy()
+            if isinstance(det, dict):
+                n_dropped += int(np.asarray(det["dropped"])[:valid].sum())
+                det = det["rows"]
+            det = np.asarray(det)[:valid].copy()
             # rescale normalized boxes (cols 1-4 in both layouts) to
             # original pixel sizes (evaluate_utils.py:64-69)
             shape = (valid,) + (1,) * (det.ndim - 2)
@@ -83,7 +91,15 @@ class EvalBase:
         total = time.time() - t0
         self.last_timing = {"detect_s": t_detect, "total_s": total,
                             "images": n_images,
-                            "ips": n_images / max(total, 1e-9)}
+                            "ips": n_images / max(total, 1e-9),
+                            "dropped_dets": n_dropped}
+        if n_dropped:
+            import sys
+            print("WARNING: compact eval transport dropped {} detections "
+                  "beyond the {}-per-image cross-class cap; set "
+                  "EVAL.COMPACT=False for the dense reference contract"
+                  .format(n_dropped, self.cfg.EVAL.TOP_K),
+                  file=sys.stderr)
         return self.evaluate_stats(tb_writer)
 
     def _log_test_images(self, batch, det, valid, tb_writer, thresh=0.5):

@@ -210,20 +210,27 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     return wrapped
 
 
-def make_eval_step(model, priors, cfg, mesh=None, compact=True):
+def make_eval_step(model, priors, cfg, mesh=None, compact=None):
     """Jitted eval forward + on-chip decode/NMS.
 
-    compact=True (default) returns [B, top_k, 6] cross-class rows — tiny
-    device->host copy; compact=False returns the reference contract
-    tensor [B, C, top_k, 5]."""
-    from ..ops.detect import detect_out, detect_out_compact, detect_refine
+    compact=True returns {"rows": [B, top_k, 6] cross-class rows,
+    "dropped": [B] int32 count of per-class NMS survivors the cross-class
+    top-k cap discarded} — a tiny device->host copy, *self-auditing*: the
+    reference's eval returns every per-class survivor (its global filter
+    at detection.py:60-63 is a no-op), so any nonzero "dropped" marks a
+    potential mAP-relevant deviation and the evaluator surfaces it.
+    compact=False returns the dense reference-contract tensor
+    [B, C, top_k, 5]. Default (None) reads cfg.EVAL.COMPACT."""
+    from ..ops.detect import detect_out, detect_refine
+    from ..ops.detect import _compact as compact_rows
     variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
     top_k = int(cfg.EVAL.TOP_K)
     conf_thresh = float(cfg.EVAL.CONF_THRESH)
     nms_thresh = float(cfg.EVAL.NMS_THRESH)
     has_bn = _model_has_bn(cfg)
     is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
-    detect = detect_out_compact if compact else detect_out
+    if compact is None:
+        compact = bool(cfg.EVAL.COMPACT)
 
     pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
 
@@ -240,12 +247,19 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=True):
         out = model.apply(variables, images, phase="eval", train=False)
         if is_refine:
             arm_loc, arm_conf, odm_loc, odm_conf = out
-            return detect_refine(arm_loc, arm_conf, odm_loc, odm_conf,
-                                 priors_arg, variances, conf_thresh,
-                                 nms_thresh, top_k, compact=compact)
-        loc, conf = out
-        return detect(loc, conf, priors_arg, variances, conf_thresh,
-                      nms_thresh, top_k)
+            dense = detect_refine(arm_loc, arm_conf, odm_loc, odm_conf,
+                                  priors_arg, variances, conf_thresh,
+                                  nms_thresh, top_k, compact=False)
+        else:
+            loc, conf = out
+            dense = detect_out(loc, conf, priors_arg, variances,
+                               conf_thresh, nms_thresh, top_k)
+        if not compact:
+            return dense
+        rows = compact_rows(dense, top_k)
+        n_dense = jnp.sum(dense[..., 0] > 0, axis=(1, 2), dtype=jnp.int32)
+        n_kept = jnp.sum(rows[..., 0] > 0, axis=1, dtype=jnp.int32)
+        return {"rows": rows, "dropped": n_dense - n_kept}
 
     # priors as a jit *argument*, not a closure (see make_train_step note)
     if mesh is None:

@@ -154,6 +154,12 @@ def default_cfg() -> AttrDict:
     C.EVAL.CONF_THRESH = 0.01
     C.EVAL.NMS_THRESH = 0.45
     C.EVAL.USE_07_METRIC = True
+    # compact device->host transport for eval detections ([B,top_k,6]
+    # cross-class rows + dropped counter) vs the dense reference-contract
+    # tensor [B,C,top_k,5]. Compact is the SSD paper's intended 200/image
+    # cap (the reference's own filter, detection.py:60-63, is a no-op
+    # bug); the evaluator reports any detections the cap discarded.
+    C.EVAL.COMPACT = True
 
     return C
 

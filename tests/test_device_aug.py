@@ -57,6 +57,49 @@ def test_preprocess_train_batch_no_distort(rng):
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_distort_distribution_matches_host(rng):
+    """The device photometric path and the host pipeline (augment.py
+    photometric_distort — reference semantics) must produce the SAME
+    output distribution over many independent draws: equal per-channel
+    means/stds and an equal channel-permutation rate. Guards against RNG
+    correlation bugs (e.g. one key gating AND selecting the channel
+    permutation skews the perm distribution)."""
+    from odtpu.data.augment import photometric_distort
+
+    N = 1024
+    img = rng.integers(0, 255, (12, 12, 3)).astype(np.float32) \
+        if hasattr(rng, "integers") else \
+        rng.randint(0, 255, (12, 12, 3)).astype(np.float32)
+
+    host_rng = np.random.default_rng(7)
+    host_out = np.stack([photometric_distort(img.copy(), host_rng)
+                         for _ in range(N)])
+
+    batch = jnp.asarray(np.broadcast_to(img, (N,) + img.shape))
+    dev_out = np.asarray(photometric_distort_device(
+        batch, jax.random.PRNGKey(3)))
+
+    # per-channel first/second moments across draws
+    hm = host_out.mean(axis=(0, 1, 2))
+    dm = dev_out.mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(hm, dm, rtol=0.06)
+    hs = host_out.std(axis=(0, 1, 2))
+    ds = dev_out.std(axis=(0, 1, 2))
+    np.testing.assert_allclose(hs, ds, rtol=0.10)
+
+    # channel-permutation rate: p(apply)=.5 times 5/6 non-identity perms
+    # = 5/12 of draws should have channels visibly swapped. Detect a swap
+    # via the per-draw channel-mean ordering changing vs the source.
+    def swap_rate(out):
+        ch = out.mean(axis=(1, 2))  # [N, 3]
+        order = np.argsort(ch, axis=1)
+        src_order = np.argsort(img.mean(axis=(0, 1)))
+        return float((order != src_order).any(axis=1).mean())
+
+    hr, dr = swap_rate(host_out), swap_rate(dev_out)
+    assert abs(hr - dr) < 0.06, (hr, dr)
+
+
 def test_distort_jits(rng):
     f = jax.jit(photometric_distort_device)
     imgs = jnp.asarray(rng.randint(0, 255, (2, 8, 8, 3)).astype(np.float32))

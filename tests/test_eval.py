@@ -151,3 +151,45 @@ def test_eval_solver_end_to_end_voc(tmp_path):
     res, (mAP,) = solver.validate(fake_step, params=None)
     assert mAP == pytest.approx(1.0, abs=1e-6)
     assert solver.last_timing["images"] == 4
+
+
+def test_eval_solver_compact_dict_transport(tmp_path):
+    """The compact {'rows', 'dropped'} eval-step contract: mAP identical
+    to the dense path, dropped counter accumulated into last_timing."""
+    from odtpu.data import VOCDetection, SSDAugmentation, DetLoader
+    from odtpu.eval import eval_solver_factory
+    from odtpu.utils.config import default_cfg, update_cfg
+
+    recs = make_voc(str(tmp_path / "VOCdevkit"), n_images=4, seed=5)
+    ds = VOCDetection(str(tmp_path / "VOCdevkit"), (("2007", "test"),))
+    t = SSDAugmentation((300, 300), use_base=True)
+    loader = DetLoader(ds, t, batch_size=2, max_boxes=10, num_workers=1)
+    cfg = default_cfg()
+    update_cfg(cfg)
+    solver = eval_solver_factory(loader, cfg, str(tmp_path / "out"))
+
+    by_id = {r[0]: r for r in recs}
+    order = [ds.ids[i][1] for i in range(len(ds))]
+    sizes = {ds.ids[i][1]: ds[i]["extra"] for i in range(len(ds))}
+    call_count = {"n": 0}
+
+    def fake_step(params, batch_stats, images):
+        b = images.shape[0]
+        rows = np.zeros((b, 200, 6), np.float32)
+        for k in range(b):
+            idx = call_count["n"] * 2 + k
+            if idx >= len(order):
+                continue
+            img_id = order[idx]
+            _, boxes, labels = by_id[img_id]
+            h, w, _ = sizes[img_id]
+            for j, (bb, l) in enumerate(zip(boxes, labels)):
+                rows[k, j] = [0.9, bb[0] / w, bb[1] / h,
+                              bb[2] / w, bb[3] / h, l + 1]
+        call_count["n"] += 1
+        return {"rows": rows, "dropped": np.full((b,), 2, np.int32)}
+
+    res, (mAP,) = solver.validate(fake_step, params=None)
+    assert mAP == pytest.approx(1.0, abs=1e-6)
+    # 2 per image x 4 valid images (padding rows excluded)
+    assert solver.last_timing["dropped_dets"] == 8

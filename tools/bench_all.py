@@ -86,12 +86,16 @@ def main():
             h, w = cfg.MODEL.IMAGE_SIZE
             x = jax.device_put(
                 np.random.rand(B, h, w, 3).astype(np.float32))
+            def sync(o):
+                return float(jnp.sum(o["rows"] if isinstance(o, dict)
+                                     else o))
+
             out = step(params, stats, x)
-            float(jnp.sum(out))  # compile + reliable sync
+            sync(out)  # compile + reliable sync
             t0 = time.time()
             for _ in range(args.iters):
                 out = step(params, stats, x)
-                s = float(jnp.sum(out))
+                s = sync(out)
             dt = (time.time() - t0) / args.iters
             print("{:<22} {:>6} {:>12.1f} {:>12.0f}".format(
                 name, B, dt * 1e3, B / dt))

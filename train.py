@@ -99,11 +99,15 @@ def main(argv=None):
 
     state, tx = create_train_state(model, cfg, mesh=mesh)
     if args.basenet:
+        from odtpu.parallel.mesh import shard_params
         params, loaded, skipped = load_backbone_npz(
             jax.device_get(state.params), args.basenet)
         print("backbone import: {} loaded, {} skipped".format(
             len(loaded), len(skipped)))
-        state = state.replace(params=jax.device_put(params))
+        # re-place with the mesh layout create_train_state chose: a bare
+        # device_put would drop the NamedShardings (TP layouts) while the
+        # optimizer momentum buffers keep theirs
+        state = state.replace(params=shard_params(params, mesh))
 
     ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
     start_step = 0
