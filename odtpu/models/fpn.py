@@ -26,11 +26,44 @@ from .common import Conv, L2Norm
 from .ssd import MultiBoxHead, parse_extras
 
 
+def _align_corners_weights(n_in: int, n_out: int):
+    """[n_out, n_in] interpolation matrix for 1-D linear resize with
+    align_corners=True: output i samples input coordinate
+    i*(n_in-1)/(n_out-1). Built at trace time (static shapes)."""
+    import numpy as np
+    if n_in == 1 or n_out == 1:
+        w = np.zeros((n_out, n_in), np.float32)
+        w[:, 0] = 1.0
+        return jnp.asarray(w)
+    coords = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(coords).astype(np.int64), 0, n_in - 2)
+    frac = (coords - lo).astype(np.float32)
+    w = np.zeros((n_out, n_in), np.float32)
+    w[np.arange(n_out), lo] = 1.0 - frac
+    w[np.arange(n_out), lo + 1] += frac
+    return jnp.asarray(w)
+
+
 def upsample_bilinear(x, size):
-    """NHWC bilinear resize (torch F.upsample(mode='bilinear') parity,
-    align_corners=True was the 0.3.x default)."""
+    """NHWC bilinear resize with torch align_corners=True semantics.
+
+    Parity: the reference's F.upsample(mode='bilinear') under torch 0.3.1
+    defaults to align_corners=True (fpn_v2.py:155, fssd.py:118). That
+    sampling grid differs from jax.image.resize's half-pixel centers, so
+    the map is applied explicitly as two separable matmuls (MXU-friendly,
+    f32 accumulate). Golden-tested against
+    torch.nn.functional.interpolate(..., align_corners=True)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="linear")
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w):
+        return x
+    wh = _align_corners_weights(h, oh)
+    ww = _align_corners_weights(w, ow)
+    out = jnp.einsum("oh,bhwc->bowc", wh, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,bhwc->bhpc", ww, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 class FPN(nn.Module):
