@@ -156,8 +156,8 @@ def main():
             signal.signal(signal.SIGALRM, old)
 
     def _b1_latency():
-        # lax NMS path at B=1: the fused kernel faulted the TPU worker at
-        # tiny grid sizes on this tunnel (fix pending hardware verify)
+        # serving path at B=1 through the production (Pallas on TPU)
+        # kernel — hardware-verified bit-exact at single-set grids
         from odtpu.ops.detect import detect_out_compact as _doc
 
         def infer1_fn(variables, priors, x_u8, mean):
@@ -168,7 +168,7 @@ def main():
             return _doc(loc, conf, priors, variances,
                         conf_thresh=float(cfg.EVAL.CONF_THRESH),
                         nms_thresh=float(cfg.EVAL.NMS_THRESH),
-                        top_k=int(cfg.EVAL.TOP_K), impl="lax")
+                        top_k=int(cfg.EVAL.TOP_K))
 
         infer1 = jax.jit(infer1_fn)
         x1 = jax.device_put(make_batch()[:1], device)

@@ -42,20 +42,17 @@ def _resolve_impl(impl: str) -> str:
     return impl
 
 
-# the fused kernel is proven at production grid sizes; on the axon
-# tunnel it faulted the TPU worker at tiny grids (B=1), so small
-# workloads take the (bit-identical, amply fast) lax path
-_PALLAS_MIN_SETS = 256
-
-
 def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
                    nms_thresh: float, top_k: int, impl: str = "auto"):
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
-    (score, x1, y1, x2, y2), zero padded, descending score."""
+    (score, x1, y1, x2, y2), zero padded, descending score.
+
+    The fused Pallas kernel is hardware-verified bit-exact against the
+    lax path at every grid size down to a single candidate set (B=1
+    serving included) — the round-1 small-grid TPU worker fault was
+    fixed by the f32 alive-mask output and zero-guarded IoU denominator
+    (nms_kernel.py), so there is no small-workload detour anymore."""
     impl = _resolve_impl(impl)
-    if impl == "pallas" and \
-            decoded.shape[0] * conf_fg.shape[-1] < _PALLAS_MIN_SETS:
-        impl = "lax"
     if impl == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
         return per_class_nms_pallas(decoded, conf_fg, conf_thresh,

@@ -56,8 +56,8 @@ def test_overfit_single_batch(rng):
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.3 * losses[0], losses[::30]
 
-    det = np.asarray(eval_fn(state.params, state.batch_stats,
-                             jnp.asarray(images)))
+    out = eval_fn(state.params, state.batch_stats, jnp.asarray(images))
+    det = np.asarray(out["rows"] if isinstance(out, dict) else out)
     hits = 0
     for i, (x1, y1, x2, y2) in enumerate(gts):
         rows = det[i]
