@@ -23,24 +23,56 @@ MAX_DETS = 100
 
 def _iou_xywh(dets, gts, iscrowd):
     """IoU between det [D,4] and gt [G,4] xywh boxes; crowd GT uses
-    intersection-over-det-area (pycocotools semantics)."""
-    D, G = len(dets), len(gts)
-    ious = np.zeros((D, G))
-    for g in range(G):
-        gx, gy, gw, gh = gts[g]
-        garea = gw * gh
-        for d in range(D):
-            dx, dy, dw, dh = dets[d]
-            iw = min(dx + dw, gx + gw) - max(dx, gx)
-            if iw <= 0:
+    intersection-over-det-area (pycocotools semantics). Fully
+    broadcast-vectorized: one [D, G] tile, no Python loops."""
+    dets = np.asarray(dets, float).reshape(-1, 4)
+    gts = np.asarray(gts, float).reshape(-1, 4)
+    iscrowd = np.asarray(iscrowd, bool)
+    dx2 = dets[:, 0] + dets[:, 2]
+    dy2 = dets[:, 1] + dets[:, 3]
+    gx2 = gts[:, 0] + gts[:, 2]
+    gy2 = gts[:, 1] + gts[:, 3]
+    iw = (np.minimum(dx2[:, None], gx2[None, :])
+          - np.maximum(dets[:, 0, None], gts[None, :, 0]))
+    ih = (np.minimum(dy2[:, None], gy2[None, :])
+          - np.maximum(dets[:, 1, None], gts[None, :, 1]))
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    darea = (dets[:, 2] * dets[:, 3])[:, None]
+    garea = (gts[:, 2] * gts[:, 3])[None, :]
+    union = np.where(iscrowd[None, :], darea, darea + garea - inter)
+    return np.where(inter > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+
+
+def _greedy_match(ious, iscrowd, thr):
+    """pycocotools evaluateImg greedy assignment for one IoU threshold.
+
+    Dets arrive score-sorted; gts arrive non-crowd-first (stable). Per
+    det the inner gt scan is one vectorized argmax with the reference's
+    exact tie-breaking: later gt wins equal IoU (`< iou: continue` keeps
+    scanning), and a det that can match any non-crowd gt never falls
+    through to the crowd section (the `break` on reaching ignored gts).
+    Returns (dtm [D], dt_ignore [D]) bool."""
+    D, G = ious.shape
+    gtm = np.zeros(G, bool)
+    dtm = np.zeros(D, bool)
+    dt_ig = np.zeros(D, bool)
+    min_thr = min(thr, 1 - 1e-10)
+    for d in range(D):
+        avail = ~gtm | iscrowd
+        iou_d = np.where(avail, ious[d], -1.0)
+        cand = iou_d >= min_thr
+        pool = cand & ~iscrowd
+        crowd_fallback = not pool.any()
+        if crowd_fallback:
+            pool = cand & iscrowd
+            if not pool.any():
                 continue
-            ih = min(dy + dh, gy + gh) - max(dy, gy)
-            if ih <= 0:
-                continue
-            inter = iw * ih
-            union = dw * dh if iscrowd[g] else dw * dh + garea - inter
-            ious[d, g] = inter / union
-    return ious
+        vals = np.where(pool, iou_d, -1.0)
+        g = G - 1 - int(np.argmax(vals[::-1]))  # later gt wins ties
+        dtm[d] = True
+        dt_ig[d] = crowd_fallback
+        gtm[g] = True
+    return dtm, dt_ig
 
 
 def _evaluate_img(det_rows, gt_rows):
@@ -67,23 +99,7 @@ def _evaluate_img(det_rows, gt_rows):
     ious = _iou_xywh(np.array([r[1:5] for r in det_rows]),
                      np.array([g[:4] for g in gts]), iscrowd)
     for t, thr in enumerate(IOU_THRS):
-        gtm = np.zeros(G, bool)
-        for d in range(D):
-            best, bestg = min(thr, 1 - 1e-10), -1
-            for g in range(G):
-                if gtm[g] and not iscrowd[g]:
-                    continue
-                # once matched to a non-ignored gt, stop considering crowd
-                if bestg > -1 and not iscrowd[bestg] and iscrowd[g]:
-                    break
-                if ious[d, g] < best:
-                    continue
-                best, bestg = ious[d, g], g
-            if bestg == -1:
-                continue
-            dtm[t, d] = True
-            dt_ig[t, d] = iscrowd[bestg]
-            gtm[bestg] = True
+        dtm[t], dt_ig[t] = _greedy_match(ious, iscrowd, thr)
     return scores, dtm, dt_ig, n_gt
 
 
@@ -142,13 +158,11 @@ def evaluate_coco(det_rows, gt_index, cat_ids):
             pr = tp / np.maximum(tp + fp, np.finfo(float).eps)
             # precision envelope + 101-point sampling (pycocotools style)
             q = np.zeros(R)
-            for i in range(nd - 1, 0, -1):
-                if pr[i] > pr[i - 1]:
-                    pr[i - 1] = pr[i]
-            inds = np.searchsorted(rc, REC_THRS, side="left")
-            for ri, pi in enumerate(inds):
-                if pi < nd:
-                    q[ri] = pr[pi]
+            if nd:
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
+                inds = np.searchsorted(rc, REC_THRS, side="left")
+                valid = inds < nd
+                q[valid] = pr[inds[valid]]
             precision[t, :, ci] = q
 
     p05 = precision[0]

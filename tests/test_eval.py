@@ -108,6 +108,97 @@ def test_coco_eval_crowd_ignored():
     assert map05 == pytest.approx(1.0)
 
 
+def test_coco_eval_crowd_plus_fp_hand_value():
+    """Adversarial mix: TP + crowd-ignored det + pure FP.
+
+    pycocotools semantics (evaluateImg + accumulate): the crowd-matched
+    det drops out of both TP and FP streams, so the kept sequence at
+    thr .5 is [TP(.9), FP(.7)] over n_gt=1 non-crowd GT ->
+    rc=[1,1], pr=[1,.5]; envelope leaves pr[0]=1 and every recall
+    sample point takes index 0 -> AP@0.5 = 1.0 exactly."""
+    gt_index = {(1.0, 1.0): [(0, 0, 10, 10, 0), (30, 0, 10, 10, 1)]}
+    rows = [(1.0, 0, 0, 10, 10, 0.9, 1.0),     # IoU 1.0 with normal GT
+            (1.0, 30, 0, 10, 7, 0.8, 1.0),     # IoG 0.7 with crowd GT
+            (1.0, 60, 60, 5, 5, 0.7, 1.0)]     # matches nothing: FP
+    map05, _ = evaluate_coco(rows, gt_index, [1.0])
+    assert map05 == pytest.approx(1.0)
+
+
+def test_coco_eval_duplicate_scores_stable_order():
+    """Equal-score dets keep insertion order (mergesort stability), and
+    AP is order-sensitive: FP-before-TP at the same score gives
+    pr=[0,.5] -> envelope .5 everywhere -> AP=0.5; TP-first gives 1.0."""
+    gt_index = {(1.0, 1.0): [(0, 0, 10, 10, 0)]}
+    fp_first = [(1.0, 60, 60, 5, 5, 0.9, 1.0),
+                (1.0, 0, 0, 10, 10, 0.9, 1.0)]
+    tp_first = list(reversed(fp_first))
+    assert evaluate_coco(fp_first, gt_index, [1.0])[0] == pytest.approx(0.5)
+    assert evaluate_coco(tp_first, gt_index, [1.0])[0] == pytest.approx(1.0)
+
+
+def test_coco_eval_maxdets_truncation():
+    """Only the top-100 dets per (image, cat) enter matching: a TP
+    ranked 120th by score is truncated away -> AP 0; ranked 50th it
+    survives the cap and the 99 higher-scored FPs precede it ->
+    pr at the single recall point = 1/100."""
+    gt_index = {(1.0, 1.0): [(0, 0, 10, 10, 0)]}
+
+    def rows_with_tp_at(rank, n=150):
+        rows = []
+        for i in range(n):
+            score = 1.0 - i * 0.005
+            if i == rank:
+                rows.append((1.0, 0, 0, 10, 10, score, 1.0))
+            else:
+                rows.append((1.0, 200 + i * 20, 200, 5, 5, score, 1.0))
+        return rows
+
+    map05_gone, _ = evaluate_coco(rows_with_tp_at(120), gt_index, [1.0])
+    assert map05_gone == pytest.approx(0.0)
+    map05_kept, _ = evaluate_coco(rows_with_tp_at(50), gt_index, [1.0])
+    # kept sequence: 50 FPs, TP, 49 FPs -> pr at recall 1.0 is 1/51;
+    # envelope propagates max(1/51, tail ~1/100) = 1/51 to all samples
+    assert map05_kept == pytest.approx(1.0 / 51.0)
+
+
+def test_coco_eval_iou_tie_later_gt_wins():
+    """pycocotools' `< iou: continue` scan means the LATER gt wins an
+    exact IoU tie. det1 ties G0/G1 at IoU .538 and must take G1; det2
+    (exactly G1, IoU 1.0 but G1 now matched, IoU .25 vs G0) becomes FP.
+    tp=[1,1] fp=[0,1] over n_gt=2 -> rc=.5, pr=[1,.5] -> AP@0.5 =
+    51/101 (recall samples .00-.50 get precision 1, rest 0)."""
+    gt_index = {(1.0, 1.0): [(0, 0, 10, 10, 0), (6, 0, 10, 10, 0)]}
+    rows = [(1.0, 3, 0, 10, 10, 0.9, 1.0),
+            (1.0, 6, 0, 10, 10, 0.8, 1.0)]
+    map05, _ = evaluate_coco(rows, gt_index, [1.0])
+    assert map05 == pytest.approx(51.0 / 101.0)
+
+
+def test_coco_eval_scale_throughput():
+    """5000 synthetic images x 4 dets across 20 cats evaluate in
+    seconds (the round-1 per-element Python loops took minutes)."""
+    import time
+    rng = np.random.RandomState(0)
+    gt_index = {}
+    rows = []
+    cats = [float(c) for c in range(1, 21)]
+    for img in range(5000):
+        for j in range(4):
+            cat = float(rng.randint(1, 21))
+            x, y = rng.rand(2) * 400
+            w, h = rng.rand(2) * 60 + 20
+            gt_index.setdefault((float(img), cat), []).append(
+                (x, y, w, h, 0))
+            # jittered det: IoU high but not 1.0
+            rows.append((float(img), x + 2, y + 2, w, h,
+                         float(rng.rand() * 0.5 + 0.5), cat))
+    t0 = time.time()
+    map05, map95 = evaluate_coco(rows, gt_index, cats)
+    dt = time.time() - t0
+    assert dt < 30.0, f"COCO eval too slow: {dt:.1f}s for 5k images"
+    assert map05 > 0.9
+
+
 def test_eval_solver_end_to_end_voc(tmp_path):
     """Fake eval step that emits GT boxes -> mAP 1.0 through the full
     solver path (rescaling, accumulation, file protocol)."""
