@@ -40,6 +40,10 @@ def dataset_factory(phase, cfg):
     if train and world > 1:
         assert batch % world == 0, "global batch must divide process count"
         batch //= world
+    # eval is sharded too: each host evaluates its 1/world slice with
+    # local devices (no collectives in the loop) and detection rows are
+    # all-gathered at the end (evaluator.py, allgather_host_rows) —
+    # round 1 had every host redundantly evaluating the full test set
     loader = DetLoader(
         dataset, transform,
         batch_size=batch,
@@ -47,5 +51,5 @@ def dataset_factory(phase, cfg):
         shuffle=train, drop_last=train,
         num_workers=int(cfg.DATASET.NUM_WORKERS),
         num_pics=num_pics,
-        shard=(rank, world) if train else (0, 1))
+        shard=(rank, world))
     return loader

@@ -24,11 +24,13 @@ import numpy as np
 
 class DetLoader:
     """Iterable over dict batches:
-        images [B,H,W,3] f32 (RGB, mean-subtracted)
-        boxes  [B,M,4] f32 normalized point-form
-        labels [B,M] int32 (-1 = pad)
-        extra  [B,3] f32 original (h, w, c)
-        ids    list[str] length B
+        images  [B,H,W,3] f32 (RGB, mean-subtracted)
+        boxes   [B,M,4] f32 normalized point-form
+        labels  [B,M] int32 (-1 = pad)
+        extra   [B,3] f32 original (h, w, c)
+        ids     list[str] length B
+        indices [B] int64 global dataset indices (lets a sharded
+                evaluator place results at their global position)
     """
 
     def __init__(self, dataset, transform, batch_size, max_boxes=60,
@@ -127,6 +129,7 @@ class DetLoader:
                         "labels": np.stack([it[2] for it in items]),
                         "extra": np.stack([it[3] for it in items]),
                         "ids": [it[4] for it in items],
+                        "indices": np.asarray(chunk, np.int64),
                     }
                 except Exception as e:  # surface to the consumer
                     batch = e

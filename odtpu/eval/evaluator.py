@@ -39,11 +39,15 @@ class EvalBase:
     def reset_results(self):
         raise NotImplementedError
 
-    def accumulate(self, det, extra, ids, img_idx):
+    def accumulate(self, det, extra, ids, img_idx, indices=None):
         raise NotImplementedError
 
     def evaluate_stats(self, tb_writer=None):
         raise NotImplementedError
+
+    def _gather_multihost(self):
+        """All-gather per-process detection rows when the eval loader is
+        sharded across processes; no-op single-process."""
 
     def validate(self, eval_step, params, batch_stats=None, tb_writer=None):
         """eval_step(params, batch_stats, images[B,H,W,3]) -> one of:
@@ -85,9 +89,14 @@ class EvalBase:
             if (tb_writer is not None and tb_writer.writer is not None
                     and self.cfg.LOG.SHOW_TEST_IMAGE and img_idx == 0):
                 self._log_test_images(batch, det, valid, tb_writer)
+            indices = batch.get("indices")
+            if indices is not None:
+                indices = indices[:valid]
             img_idx = self.accumulate(det, batch["extra"][:valid],
-                                      batch["ids"][:valid], img_idx)
+                                      batch["ids"][:valid], img_idx,
+                                      indices=indices)
             n_images += valid
+        self._gather_multihost()
         total = time.time() - t0
         self.last_timing = {"detect_s": t_detect, "total_s": total,
                             "images": n_images,
@@ -154,9 +163,12 @@ class EvalVOC(EvalBase):
         self.results = [[np.zeros((0, 5), np.float32) for _ in range(n)]
                         for _ in range(self.num_classes)]
 
-    def accumulate(self, det, extra, ids, img_idx):
-        # det [V, N, 6] rows = score, x1, y1, x2, y2, cls (pixels)
+    def accumulate(self, det, extra, ids, img_idx, indices=None):
+        # det [V, N, 6] rows = score, x1, y1, x2, y2, cls (pixels);
+        # indices = global dataset positions (sharded loaders visit a
+        # strided slice, so local order != global order)
         for b in range(det.shape[0]):
+            pos = int(indices[b]) if indices is not None else img_idx
             rows = det[b]
             rows = rows[rows[:, 0] > 0]
             for cls in range(1, self.num_classes):
@@ -164,10 +176,32 @@ class EvalVOC(EvalBase):
                 if r.size == 0:
                     continue
                 # -> x1, y1, x2, y2, score
-                self.results[cls][img_idx] = np.ascontiguousarray(
+                self.results[cls][pos] = np.ascontiguousarray(
                     r[:, [1, 2, 3, 4, 0]], np.float32)
             img_idx += 1
         return img_idx
+
+    def _gather_multihost(self):
+        import jax
+        if jax.process_count() == 1:
+            return
+        from ..parallel.multihost import allgather_host_rows
+        chunks = []
+        for cls in range(1, self.num_classes):
+            for pos, r in enumerate(self.results[cls]):
+                if r.size:
+                    head = np.broadcast_to(
+                        np.asarray([pos, cls], np.float32), (len(r), 2))
+                    chunks.append(np.concatenate([head, r], axis=1))
+        local = (np.concatenate(chunks, 0) if chunks
+                 else np.zeros((0, 7), np.float32))
+        merged = allgather_host_rows(local)
+        self.reset_results()
+        for row in merged:
+            pos, cls = int(row[0]), int(row[1])
+            prev = self.results[cls][pos]
+            self.results[cls][pos] = np.concatenate(
+                [prev, row[None, 2:]], axis=0).astype(np.float32)
 
     def evaluate_stats(self, tb_writer=None):
         res, mAP = evaluate_detections(
@@ -189,7 +223,7 @@ class EvalCOCO(EvalBase):
     def reset_results(self):
         self.rows = []
 
-    def accumulate(self, det, extra, ids, img_idx):
+    def accumulate(self, det, extra, ids, img_idx, indices=None):
         for b in range(det.shape[0]):
             coco_id = float(ids[b])
             rows = det[b]
@@ -200,6 +234,15 @@ class EvalCOCO(EvalBase):
                                   r[4] - r[2], r[0], cat))
             img_idx += 1
         return img_idx
+
+    def _gather_multihost(self):
+        import jax
+        if jax.process_count() == 1:
+            return
+        from ..parallel.multihost import allgather_host_rows
+        local = (np.asarray(self.rows, np.float32).reshape(-1, 7)
+                 if self.rows else np.zeros((0, 7), np.float32))
+        self.rows = [tuple(r) for r in allgather_host_rows(local)]
 
     def evaluate_stats(self, tb_writer=None):
         gt_index = build_gt_index(self.loader.dataset)
