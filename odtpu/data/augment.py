@@ -195,6 +195,32 @@ class SSDAugmentation:
         # the reference also resizes uint8 before the f32 subtract
         # (augmentations.py:94,61), and u8 ships 4x fewer bytes.
         self.device_normalize = device_normalize
+        # step-by-step TB dumps (reference Compose tb_writer hook,
+        # augmentations.py:395-404); attach_writer() arms it
+        self.tb_writer = None
+        self._dumps_left = 0
+
+    def attach_writer(self, tb_writer, max_dumps=8):
+        """Arm per-stage augmentation image dumps (one TB image per
+        pipeline stage for the next `max_dumps` items). Debug aid —
+        use with a single loader worker; TB writes aren't synchronized
+        across worker threads."""
+        self.tb_writer = tb_writer
+        self._dumps_left = int(max_dumps)
+
+    def _dump(self, stage, img, boxes, labels):
+        if self.tb_writer is None or self._dumps_left <= 0:
+            return
+        from ..utils.visualize import vis_img_box
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        gt = None
+        if boxes is not None and len(boxes):
+            gt = np.concatenate(
+                [np.asarray(boxes, np.float32).reshape(-1, 4),
+                 np.asarray(labels, np.float32).reshape(-1, 1)], axis=1)
+        vis_img_box(u8, {"gt": gt} if gt is not None else {},
+                    self.tb_writer, tag="augmentation/" + stage,
+                    step=self._dumps_left)
 
     def base(self, img):
         img = cv2.resize(img, (self.size[1], self.size[0]))
@@ -211,15 +237,31 @@ class SSDAugmentation:
         boxes = boxes.astype(np.float32).copy()
         boxes[:, 0::2] *= w  # to absolute
         boxes[:, 1::2] *= h
+        dump = self.tb_writer is not None and self._dumps_left > 0
+        if dump:
+            self._dump("0_input", img, boxes, labels)
         if not self.device_photometric:
             img = photometric_distort(img, rng)
+            if dump:
+                self._dump("1_photometric", img, boxes, labels)
         img, boxes = random_expand(img, boxes, rng, self.mean)
+        if dump:
+            self._dump("2_expand", img, boxes, labels)
         img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
+        if dump:
+            self._dump("3_crop", img, boxes, labels)
         img, boxes = random_mirror(img, boxes, rng)
+        if dump:
+            self._dump("4_mirror", img, boxes, labels)
         h, w, _ = img.shape
         boxes[:, 0::2] /= w  # to percent
         boxes[:, 1::2] /= h
         img = cv2.resize(img, (self.size[1], self.size[0]))
+        if dump:
+            self._dump("5_resize", img,
+                       boxes * np.asarray([self.size[1], self.size[0]] * 2,
+                                          np.float32), labels)
+            self._dumps_left -= 1
         if self.device_photometric:
             return np.clip(img, 0, 255).astype(np.uint8), boxes, labels
         return img - self.mean, boxes, labels

@@ -67,6 +67,12 @@ def default_cfg() -> AttrDict:
     C.LOG.ROOT_DIR = osp.join(C.GENERAL.ROOT_DIR, "logs")
     C.LOG.SHOW_PR_CURVE = False
     C.LOG.SHOW_TEST_IMAGE = False
+    # step-by-step augmentation dumps (ref augmentations.py:395-404)
+    C.LOG.SHOW_AUG_STEPS = False
+    # per-feature-map anchor renderings (ref prior_box.py:55-90 @vis)
+    C.LOG.SHOW_ANCHOR_MAPS = False
+    # input-gradient saliency maps (ref visualize_utils.py:152-202)
+    C.LOG.SHOW_SALIENCY = False
 
     # ---------------- Dataset ----------------
     C.DATASET = AttrDict()

@@ -108,3 +108,83 @@ def viz_feature_maps(sources, tb_writer, tag="features", step=0):
         heat = (heat - heat.min()) / (rng + 1e-9)
         img = (np.stack([heat] * 3, -1) * 255).astype(np.uint8)
         tb_writer.add_image("{}/source_{}".format(tag, i), img, step)
+
+
+def viz_grads(source_fn, image, pixel_means, tb_writer, tag="module_grads",
+              step=0):
+    """Input-gradient saliency per source feature map.
+
+    Parity: /root/reference/lib/utils/visualize_utils.py viz_grads:152 /
+    viz_module_grads:189 — there each captured feature map is
+    back-propagated with an all-ones cotangent and the input's gradient
+    (clamped at 0, plus the pixel mean) is logged as an image. Here the
+    same quantity is jax.grad of sum(source_i) w.r.t. the input.
+
+    Args:
+        source_fn: image [1,H,W,3] f32 (RGB, mean-subtracted) -> list of
+            source feature maps (e.g. a closure over model.apply with
+            return_sources=True).
+        image: [H,W,3] or [1,H,W,3] network-input image.
+        pixel_means: BGR means (cfg.DATASET.PIXEL_MEANS) added back for
+            visibility, channel-flipped to the RGB input order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(image, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    n_sources = len(source_fn(x))
+    mean_rgb = np.asarray(pixel_means, np.float32)[::-1]
+    for i in range(n_sources):
+        def score(im, _i=i):
+            return jnp.sum(source_fn(im)[_i].astype(jnp.float32))
+        g = np.asarray(jax.grad(score)(x))[0]
+        sal = np.clip(np.clip(g, 0, None) + mean_rgb, 0, 255)
+        tb_writer.add_image("{}/source_{}".format(tag, i),
+                            sal.astype(np.uint8), step)
+
+
+def viz_prior_anchors(prior_box, layer_dims, tb_writer, image=None, step=2,
+                      tag="base/feature_map"):
+    """Per-feature-map anchor renderings.
+
+    Parity: /root/reference/lib/layers/functions/prior_box.py:55-90
+    (_prior_vis under the @vis decorator): for every feature map k and
+    every anchor slot a, draw each cell's center as a red dot and, on
+    the diagonal cells only, the anchor rectangle in green; one TB image
+    per (map, slot) tagged base/feature_map_{k}_{a}.
+
+    Args:
+        prior_box: a PriorBoxSSD (uses image_size/steps/_cell_priors).
+        layer_dims: [(H_k, W_k), ...] measured feature-map dims.
+        image: optional uint8 BGR background; blank white otherwise.
+    """
+    import cv2
+
+    img_h, img_w = prior_box.image_size
+    if image is None:
+        base = np.full((img_h, img_w, 3), 255, np.uint8)
+    else:
+        base = cv2.resize(np.asarray(image).astype(np.uint8),
+                          (img_w, img_h))
+    for k, (fh, fw) in enumerate(layer_dims):
+        steps_x = img_w / prior_box.steps[k]
+        steps_y = img_h / prior_box.steps[k]
+        for a in range(prior_box.num_priors[k]):
+            im = base.copy()
+            for i in range(fh):
+                for j in range(fw):
+                    cx = (j + 0.5) / steps_x
+                    cy = (i + 0.5) / steps_y
+                    px, py = int(cx * img_w), int(cy * img_h)
+                    cv2.circle(im, (px, py), 1, (0, 0, 255), -1)
+                    if i == j:  # reference draws only diagonal anchors
+                        c = prior_box._cell_priors(cx, cy, k)[a]
+                        p1 = (int((c[0] - c[2] / 2) * img_w),
+                              int((c[1] - c[3] / 2) * img_h))
+                        p2 = (int((c[0] + c[2] / 2) * img_w),
+                              int((c[1] + c[3] / 2) * img_h))
+                        cv2.rectangle(im, p1, p2, (0, 255, 0), 1)
+            tb_writer.add_image("{}_{}_{}".format(tag, k, a),
+                                im[:, :, ::-1], step)

@@ -121,6 +121,15 @@ def main(argv=None):
     eval_fn = make_eval_step(model, priors, cfg, mesh=mesh)
     tb = TBWriter(log_dir)
 
+    if cfg.LOG.SHOW_AUG_STEPS:
+        # per-stage augmentation dumps (ref augmentations.py:395-404)
+        train_loader.transform.attach_writer(tb)
+    if cfg.LOG.SHOW_ANCHOR_MAPS:
+        # per-feature-map anchor renderings (ref prior_box.py:55-90)
+        from odtpu.ops import PriorBoxSSD
+        from odtpu.utils.visualize import viz_prior_anchors
+        viz_prior_anchors(PriorBoxSSD(cfg), layer_dims, tb)
+
     max_iter = int(cfg.TRAIN.MAX_ITER)
     log_every = int(cfg.TRAIN.LOG_LOSS_ITER)
     save_every = int(cfg.TRAIN.SAVE_ITER)
@@ -189,7 +198,29 @@ def main(argv=None):
 
     ckpt.save(max_iter, state, force=True)
     tb.close()
+    backup_jobs(cfg, out_dir, log_dir, args)
     print("done at iter", it)
+
+
+def backup_jobs(cfg, out_dir, log_dir, args):
+    """Archive the effective config + TB event logs to
+    history/<job_group>/<cfg_name> at end of run (reference backup_jobs,
+    /root/reference/train.py:197-208, including its rename-with-_n
+    behavior when the history dir already exists)."""
+    import shutil
+
+    dst = osp.join(cfg.GENERAL.HISTORY_ROOT, args.job_group, args.cfg_name)
+    if osp.exists(dst):
+        dst = osp.join(cfg.GENERAL.HISTORY_ROOT, args.job_group,
+                       args.cfg_name + "_n")
+        print("history dir exists; backing up as", dst)
+    os.makedirs(dst, exist_ok=True)
+    cfg_file = osp.join(out_dir, "config_used.yml")
+    if osp.isfile(cfg_file):
+        shutil.copyfile(cfg_file, osp.join(dst, args.cfg_name + ".yml"))
+    if osp.isdir(log_dir):
+        shutil.copytree(log_dir, dst, dirs_exist_ok=True)
+    print("backed up cfg and TB logs to", dst)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,33 @@ def main(argv=None):
         float(metrics["loss"]), float(metrics["loss_loc"]),
         float(metrics["loss_conf"]), int(metrics["num_pos"])))
 
+    if cfg.LOG.SHOW_SALIENCY:
+        # input-gradient saliency per source map (reference
+        # visualize_utils.py:152-202 viz_module_grads)
+        import jax.numpy as jnp
+        import numpy as np
+        from odtpu.utils.logging import TBWriter
+        from odtpu.utils.visualize import viz_grads
+
+        tb = TBWriter(osp.join("debug_eval_out", "tb"))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def source_fn(x):
+            out = model.apply(variables, x, phase="eval", train=False,
+                              return_sources=True)
+            return out[-1]
+
+        img = batch["images"][:1]
+        if img.dtype == np.uint8:  # device-photometric loader output
+            img = (img.astype(np.float32)
+                   - np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32))
+            img = img[..., ::-1]
+        viz_grads(source_fn, jnp.asarray(img), cfg.DATASET.PIXEL_MEANS, tb)
+        tb.close()
+        print("saliency maps written to debug_eval_out/tb")
+
     val_loader = dataset_factory("eval", cfg)
     solver = eval_solver_factory(val_loader, cfg, "debug_eval_out")
     res, maps = solver.validate(eval_fn, state.params, state.batch_stats)
