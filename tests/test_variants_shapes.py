@@ -120,7 +120,42 @@ def test_shipped_configs_load():
     root = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                     "cfgs")
     files = glob.glob(osp.join(root, "*", "*.yml"))
-    assert len(files) >= 9
+    assert len(files) >= 12
     for f in files:
         cfg = load_cfg(f)
         assert cfg.MODEL.NUM_CLASSES == cfg.DATASET.NUM_CLASSES + 1
+
+
+def test_round2_zoo_configs_build():
+    """COCO-SSD512 / RFBNet512 / drn_d_24 configs construct real models
+    whose measured source maps match their prior specs (eval_shape
+    only — no FLOPs)."""
+    import os.path as osp
+    root = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "cfgs")
+    expect = {
+        "base/ssd_vgg16_coco_image512.yml": 7,
+        "rfb/rfbnet512_vgg16_voc.yml": 7,
+        "drn/ssd_drn24_voc.yml": 6,
+    }
+    for rel, n_maps in expect.items():
+        cfg = load_cfg(osp.join(root, rel))
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        model, prior = create_model(cfg)
+        dims = probe_layer_dims(model, cfg.MODEL.IMAGE_SIZE)
+        assert len(dims) == n_maps == len(prior.num_priors), rel
+
+
+def test_flops_oracle_exact():
+    """Analytic conv MACs (reference hook formula) for the default
+    SSD300-VGG16 equal the reference's expected constant EXACTLY
+    (/root/reference/get_flops.py:70) — a hard architecture-parity
+    regression oracle: any conv shape/stride/channel drift breaks it."""
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from get_flops import conv_breakdown
+    cfg = default_cfg()
+    rows, gmacs = conv_breakdown(cfg)
+    assert len(rows) == 35  # 15 vgg convs + 8 extras + 6 loc + 6 conf
+    assert abs(gmacs - 31.386288) < 1e-6, gmacs
