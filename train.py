@@ -150,7 +150,9 @@ def main(argv=None):
     with open(osp.join(out_dir, "config_used.yml"), "w") as f:
         _yaml.safe_dump(_plain(cfg), f)
 
+    import time
     it = start_step
+    last_log_iter, last_log_time = start_step, time.time()
     timer = Timer()
     pending = None  # (step, metrics) not yet consumed
     profiling = False
@@ -171,16 +173,26 @@ def main(argv=None):
             state, metrics = step_fn(state, *sharded)
             it += 1
             if pending is not None and pending[0] % log_every == 0:
+                # device_get of the one-step-old metrics SYNCS on that
+                # step's completion, so wall time between consumption
+                # points divided by the steps dispatched in between is
+                # true device throughput (the round-1 log timed only
+                # the async dispatch — wrong by the queue depth)
                 m = jax.device_get(pending[1])
+                now = time.time()
+                steps_done = pending[0] - last_log_iter
+                ips = (steps_done * batch["images"].shape[0]
+                       / max(now - last_log_time, 1e-9))
+                last_log_iter, last_log_time = pending[0], now
                 print("iter {} | loss {:.4f} (loc {:.4f} conf {:.4f}) "
                       "| {:.1f} img/s".format(
                           pending[0], float(m["loss"]), float(m["loss_loc"]),
-                          float(m["loss_conf"]),
-                          batch["images"].shape[0] / max(timer.diff, 1e-9)))
+                          float(m["loss_conf"]), ips))
                 tb.add_scalars("train", {
                     "loss": float(m["loss"]),
                     "loc_loss": float(m["loss_loc"]),
                     "conf_loss": float(m["loss_conf"]),
+                    "img_per_sec": ips,
                     "time": timer.diff}, pending[0])
             pending = (it, metrics)
             timer.toc(average=False)
