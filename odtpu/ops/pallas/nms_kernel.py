@@ -31,8 +31,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# pairs processed per grid step (sublane alignment wants multiples of 8)
-_ROWS = 8
+# candidate sets processed per grid step (sublane alignment wants
+# multiples of 8). The grid executes sequentially on the core and the
+# K-step greedy fori_loop dominates each step, so TOTAL time scales
+# with (num_sets / _ROWS) * K sequential iterations: wider rows divide
+# the sequential work. R=16 at K<=256 is the hardware-verified sweet
+# spot: the bf16 kill matrix [16,256,256] is 2 MB, but Mosaic also
+# materializes the f32 broadcast intermediates (inter/union), which is
+# what pushed R=32 over VMEM despite the division-free rewrite below.
+_ROWS = 16
 
 
 def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
@@ -53,28 +60,29 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
     h = jnp.maximum(yy2 - yy1, 0.0)
     inter = w * h
     union = area[:, :, None] + area[:, None, :] - inter
-    # zero-padded candidate rows give 0/0 here; clamp the denominator so
-    # the kernel never divides by zero (padded rows are dead via alive0
-    # anyway, and real unions are never this small)
-    iou = inter / jnp.where(jnp.abs(union) > 1e-12, union, 1e-12)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
     alive0 = (scores > score_thresh) & (col < k)
 
     later = col[:, None, :] > col[:, :, None]  # [R, K, K]
-    kill_mat = ((iou > iou_thresh) & later).astype(jnp.float32)
-
-    # Greedy suppression without ANY dynamic indexing (Mosaic forbids
-    # lane-dynamic reads): extract row i of the kill matrix and the
-    # scalar alive[i] per set via a one-hot MXU contraction.
-    col_f = col.astype(jnp.float32)
+    # iou > thresh restated division-free as inter > thresh*union
+    # (& union > 0): identical decisions for every reachable input —
+    # inter > 0 implies both boxes are non-degenerate hence union > 0,
+    # and zero-padded rows give inter = 0 = never kill. Avoiding the
+    # f32 iou tensor (and the divide) keeps the whole step's VMEM to
+    # the one bf16 kill matrix, which is what lets _ROWS=32 fit.
+    kill_mat = ((inter > iou_thresh * union) & (union > 0.0)
+                & later).astype(jnp.bfloat16)
 
     def body(i, alive):  # alive: [R, K] float 0/1
+        # Greedy suppression without ANY dynamic indexing (Mosaic
+        # forbids lane-dynamic reads): extract row i of the kill matrix
+        # and the scalar alive[i] per set via a one-hot contraction.
         onehot = (col == i).astype(jnp.float32)  # [R, K]
         alive_i = jnp.sum(alive * onehot, axis=1, keepdims=True)  # [R, 1]
         # kills[r, j] = kill_mat[r, i, j] : batched (1xK)@(KxK) on the MXU
         kills = jax.lax.dot_general(
-            onehot[:, None, :], kill_mat,
+            onehot[:, None, :].astype(jnp.bfloat16), kill_mat,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]  # [R, K]
         return alive * (1.0 - kills * alive_i)
