@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from odtpu.ops.topk import top_k_exact
+
 Array = jax.Array
 
 
@@ -52,7 +54,7 @@ def nms_rows(boxes: Array, scores: Array, iou_thresh: float,
     the detect path's per-class NMS."""
     n = scores.shape[0]
     k = min(top_k, n)
-    top_scores, order = jax.lax.top_k(scores, k)
+    top_scores, order = top_k_exact(scores, k)
     top_boxes = jnp.take(boxes, order, axis=0)
     alive = _greedy_mask(top_boxes, top_scores, iou_thresh, score_thresh)
     # compact kept candidates to the front, preserving score order

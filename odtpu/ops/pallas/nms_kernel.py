@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from odtpu.ops.topk import top_k_exact
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -137,7 +139,7 @@ def per_class_nms_pallas(decoded: jax.Array, conf_fg: jax.Array,
     k = min(top_k, P)
 
     scores_bc = jnp.moveaxis(conf_fg, -1, 1).reshape(B * Cf, P)
-    top_scores, order = jax.lax.top_k(scores_bc, k)  # [N, k]
+    top_scores, order = top_k_exact(scores_bc, k)  # [N, k]
     boxes_bc = jnp.broadcast_to(decoded[:, None], (B, Cf, P, 4))
     boxes_bc = boxes_bc.reshape(B * Cf, P, 4)
     top_boxes = jnp.take_along_axis(boxes_bc, order[..., None], axis=1)
