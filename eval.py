@@ -23,6 +23,9 @@ def parse_args(argv=None):
                    help="checkpoint dir (weights/<group>/<name>/ckpt by "
                         "default)")
     p.add_argument("--output_dir", default="eval_out")
+    p.add_argument("--model_npz", default="",
+                   help="converted reference model .npz "
+                        "(tools/convert_torch_weights.py --mode ssd)")
     return p.parse_args(argv)
 
 
@@ -48,14 +51,30 @@ def main(argv=None):
     model, priors, _ = model_factory("eval", cfg)
     state, _ = create_train_state(model, cfg, mesh=mesh)
 
-    ckpt_dir = args.ckpt or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
-                                     args.job_group, args.cfg_name, "ckpt")
-    if osp.isdir(ckpt_dir):
-        state = Checkpointer(ckpt_dir).restore(state)
-        print("restored step", int(np.asarray(state.step)))
+    if args.model_npz:
+        # converted reference checkpoint (tools/convert_torch_weights.py
+        # --mode ssd): the route for evaluating a reference-trained .pth
+        # without torch at runtime
+        from odtpu.parallel.mesh import shard_params
+        from odtpu.utils.checkpoint import load_model_npz
+        params, loaded, skipped = load_model_npz(
+            jax.device_get(state.params), args.model_npz)
+        print("model import: {} loaded, {} skipped".format(
+            len(loaded), len(skipped)))
+        if skipped:
+            print("  skipped:", ", ".join(skipped[:8]),
+                  "..." if len(skipped) > 8 else "")
+        state = state.replace(params=shard_params(params, mesh))
     else:
-        print("WARNING: no checkpoint at {}; evaluating random init"
-              .format(ckpt_dir))
+        ckpt_dir = args.ckpt or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
+                                         args.job_group, args.cfg_name,
+                                         "ckpt")
+        if osp.isdir(ckpt_dir):
+            state = Checkpointer(ckpt_dir).restore(state)
+            print("restored step", int(np.asarray(state.step)))
+        else:
+            print("WARNING: no checkpoint at {}; evaluating random init"
+                  .format(ckpt_dir))
 
     eval_fn = make_eval_step(model, priors, cfg, mesh=mesh)
     res, maps = solver.validate(eval_fn, state.params, state.batch_stats)

@@ -60,6 +60,28 @@ class Checkpointer:
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def load_model_npz(params, npz_path):
+    """Merge a full converted model checkpoint into a param tree.
+
+    npz keys are '/'-joined odtpu param paths (as produced by
+    tools/convert_torch_weights.py --mode ssd). Missing/mismatched keys
+    are left at init (the reference's partial-state-dict fallback,
+    train.py:79-85). Returns (new_params, loaded_paths, skipped_paths).
+    """
+    import flax
+    data = np.load(npz_path)
+    flat = flax.traverse_util.flatten_dict(params)
+    loaded, skipped = [], []
+    for key in data.files:
+        path = tuple(key.split("/"))
+        if path in flat and flat[path].shape == data[key].shape:
+            flat[path] = data[key].astype(flat[path].dtype)
+            loaded.append(key)
+        else:
+            skipped.append(key)
+    return flax.traverse_util.unflatten_dict(flat), loaded, skipped
+
+
 def load_backbone_npz(params, npz_path, backbone_key="backbone"):
     """Merge converted backbone weights into a param tree.
 

@@ -92,11 +92,27 @@ def main():
 
             out = step(params, stats, x)
             sync(out)  # compile + reliable sync
+
+            # RTT-free on-chip truth: chain the iterations inside ONE
+            # jit; the data dependence through the carry stops XLA
+            # from hoisting/CSE-ing the repeated step
+            N_CHAIN = args.iters
+
+            @jax.jit
+            def chained(params, stats, x0):
+                def body(i, carry):
+                    xc, acc = carry
+                    o = step(params, stats, xc)
+                    s = jnp.sum(o["rows"] if isinstance(o, dict) else o)
+                    return xc + s * 1e-30, acc + s
+                return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+
+            float(chained(params, stats, x))  # compile
             t0 = time.time()
-            for _ in range(args.iters):
-                out = step(params, stats, x)
-                s = sync(out)
-            dt = (time.time() - t0) / args.iters
+            reps = 3
+            for _ in range(reps):
+                float(chained(params, stats, x))
+            dt = (time.time() - t0) / reps / N_CHAIN
             print("{:<22} {:>6} {:>12.1f} {:>12.0f}".format(
                 name, B, dt * 1e3, B / dt))
         except Exception as e:

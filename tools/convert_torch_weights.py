@@ -1,14 +1,33 @@
 #!/usr/bin/env python
-"""One-time converter: torch VGG16 'reduced fc' checkpoint -> neutral .npz.
+"""One-time converters: torch checkpoints -> neutral .npz param packs.
 
-The reference bootstraps training from vgg16_reducedfc.pth loaded into
-model.base (train.py:75-85). This script converts that torch state dict
-(Sequential indices) into '<conv_name>/kernel|bias' npz entries with
-kernels transposed OIHW -> HWIO for NHWC Flax convs, so the framework
-itself never depends on torch at runtime.
+Two entry points:
+
+1. Backbone bootstrap (`--mode vgg`, the default): converts the
+   vgg16_reducedfc.pth state dict the reference trains from
+   (train.py:75-85) into '<conv_name>/kernel|bias' entries consumed by
+   odtpu.utils.checkpoint.load_backbone_npz.
+
+2. Full model (`--mode ssd`): converts a complete trained reference
+   SSD checkpoint ({'iteration','step_index','state_dict'} as written
+   by reference train.py:211-213, or a bare state dict) into entries
+   keyed by the odtpu param-tree path, consumed by
+   odtpu.utils.checkpoint.load_model_npz — so detections from a
+   reference-trained .pth can be reproduced without torch at runtime.
+
+   Key mapping (reference lib/models/ssd_v3.py:47-64):
+     base.N.weight/bias    -> backbone/<vgg conv name>/conv/kernel|bias
+     L2Norm.weight         -> l2norm/scale
+     extras.N.weight/bias  -> extras_N/conv/kernel|bias
+     loc.N.weight/bias     -> head/loc_N/conv/kernel|bias
+     conf.N.weight/bias    -> head/conf_N/conv/kernel|bias
+   Kernels transpose OIHW -> HWIO (NHWC Flax convs); the head channel
+   order (anchor-major a*4 / a*C) is preserved by the transpose, so
+   flatten semantics match the reference's NCHW permute+reshape
+   (ssd_v3.py:114-121) exactly.
 
 Usage:
-    python tools/convert_torch_weights.py vgg16_reducedfc.pth vgg16.npz
+    python tools/convert_torch_weights.py src.pth dst.npz [--mode vgg|ssd]
 """
 
 import sys
@@ -16,12 +35,20 @@ import sys
 import numpy as np
 
 
-def convert_vgg(src, dst):
+def _state_dict(src):
     import torch
-    from odtpu.models.vgg import TORCH_INDEX_TO_NAME
-    sd = torch.load(src, map_location="cpu")
-    if "state_dict" in sd:
+    sd = torch.load(src, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # tolerate DataParallel-wrapped saves
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def convert_vgg(src, dst):
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from odtpu.models.vgg import TORCH_INDEX_TO_NAME
+    sd = _state_dict(src)
     out = {}
     for key, tensor in sd.items():
         parts = key.split(".")
@@ -42,5 +69,55 @@ def convert_vgg(src, dst):
     print("wrote {} arrays to {}".format(len(out), dst))
 
 
+def convert_ssd_state_dict(sd):
+    """Reference SSD state dict (tensors or numpy arrays) -> dict keyed
+    by odtpu param path. Pure-numpy core shared with the test layer."""
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from odtpu.models.vgg import TORCH_INDEX_TO_NAME
+    out, skipped = {}, []
+    for key, tensor in sd.items():
+        arr = tensor if isinstance(tensor, np.ndarray) else tensor.numpy()
+        parts = key.split(".")
+        mod = parts[0]
+        if mod == "base":
+            name = TORCH_INDEX_TO_NAME.get(int(parts[1]))
+            if name is None:
+                skipped.append(key)
+                continue
+            path = "backbone/{}/conv/".format(name)
+            leaf = parts[2]
+        elif mod == "L2Norm":
+            out["l2norm/scale"] = arr
+            continue
+        elif mod == "extras":
+            path = "extras_{}/conv/".format(int(parts[1]))
+            leaf = parts[2]
+        elif mod in ("loc", "conf"):
+            path = "head/{}_{}/conv/".format(mod, int(parts[1]))
+            leaf = parts[2]
+        else:
+            skipped.append(key)
+            continue
+        if leaf == "weight":
+            out[path + "kernel"] = arr.transpose(2, 3, 1, 0)
+        elif leaf == "bias":
+            out[path + "bias"] = arr
+        else:
+            skipped.append(key)
+    return out, skipped
+
+
+def convert_ssd(src, dst):
+    sd = _state_dict(src)
+    out, skipped = convert_ssd_state_dict(sd)
+    for key in skipped:
+        print("skip", key)
+    np.savez(dst, **out)
+    print("wrote {} arrays to {}".format(len(out), dst))
+
+
 if __name__ == "__main__":
-    convert_vgg(sys.argv[1], sys.argv[2])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "ssd" if "--mode" in sys.argv and \
+        sys.argv[sys.argv.index("--mode") + 1] == "ssd" else "vgg"
+    (convert_ssd if mode == "ssd" else convert_vgg)(argv[0], argv[1])
