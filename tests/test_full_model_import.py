@@ -144,6 +144,25 @@ def test_head_conv_torch_parity(converted, loaded_params):
     np.testing.assert_allclose(j_rows, t_rows, rtol=2e-5, atol=2e-5)
 
 
+def test_fpn_transform_pyramid_mapping():
+    """FPN lateral/output convs (reference fpn_v2.py:45-46) land on
+    transform_N/pyramid_N with the OIHW->HWIO transpose."""
+    rs = np.random.RandomState(5)
+    sd = {
+        "transforms.1.weight": rs.randn(256, 1024, 1, 1).astype(np.float32),
+        "transforms.1.bias": rs.randn(256).astype(np.float32),
+        "pyramids.3.weight": rs.randn(256, 256, 3, 3).astype(np.float32),
+        "pyramids.3.bias": rs.randn(256).astype(np.float32),
+    }
+    out, skipped = convert_ssd_state_dict(sd)
+    assert not skipped
+    np.testing.assert_array_equal(
+        out["transform_1/conv/kernel"],
+        sd["transforms.1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        out["pyramid_3/conv/bias"], sd["pyramids.3.bias"])
+
+
 def test_full_forward_runs_and_regresses(loaded_params):
     """Loaded full checkpoint produces a stable forward (shape + finite
     + deterministic across two applies)."""

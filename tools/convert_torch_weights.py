@@ -24,7 +24,12 @@ Two entry points:
    Kernels transpose OIHW -> HWIO (NHWC Flax convs); the head channel
    order (anchor-major a*4 / a*C) is preserved by the transpose, so
    flatten semantics match the reference's NCHW permute+reshape
-   (ssd_v3.py:114-121) exactly.
+   (ssd_v3.py:114-121) exactly. FPN checkpoints additionally map
+   transforms.N/pyramids.N (fpn_v2.py:45-46) -> transform_N/pyramid_N.
+   SSD_COCO shares the SSD layout. FSSD is deliberately unsupported:
+   the reference's FSSD constructor is factory-incompatible
+   (lib/models/fssd.py:8 vs lib/models/__init__.py:31), so no trained
+   reference FSSD checkpoint can exist.
 
 Usage:
     python tools/convert_torch_weights.py src.pth dst.npz [--mode vgg|ssd]
@@ -94,6 +99,11 @@ def convert_ssd_state_dict(sd):
             leaf = parts[2]
         elif mod in ("loc", "conf"):
             path = "head/{}_{}/conv/".format(mod, int(parts[1]))
+            leaf = parts[2]
+        elif mod in ("transforms", "pyramids"):
+            # FPN laterals / output convs (fpn_v2.py:45-46), FSSD
+            # transforms / pyramid convs (fssd.py:30-31)
+            path = "{}_{}/conv/".format(mod[:-1], int(parts[1]))
             leaf = parts[2]
         else:
             skipped.append(key)
