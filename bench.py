@@ -40,6 +40,15 @@ import time
 BASELINE_FPS = 46.0
 PARENT_BUDGET_S = int(os.environ.get("ODTPU_BENCH_BUDGET_S", "780"))
 WORKER_TIMEOUT_S = 330
+# the extras carry their own alarm deadlines (120s B=1 latency + 240s
+# train throughput) on top of the primary windows, so the worker that
+# runs them needs headroom beyond WORKER_TIMEOUT_S or a slow-compile
+# phase kills it AFTER the primary result was measured but before the
+# JSON printed
+EXTRAS_TIMEOUT_S = WORKER_TIMEOUT_S + 120 + 240
+# kept free for the CPU fallback so the one JSON line always lands
+# inside PARENT_BUDGET_S (the deadline contract with the driver)
+FALLBACK_RESERVE_S = 300
 GOOD_ENOUGH_IPS = 400.0  # healthy-tunnel, compute-bound: stop retrying
 
 
@@ -77,14 +86,18 @@ def main():
     attempt = 0
     # overlap first; fall back to serial; retry across tunnel phases
     schedule = ["overlap", "overlap", "serial", "overlap", "serial"]
-    while want_tpu and time.time() < t_end:
+    while want_tpu:
         mode = schedule[min(attempt, len(schedule) - 1)]
         remaining = t_end - time.time()
-        if remaining < 60:
+        # keep enough budget for the CPU fallback while we still have
+        # no number at all
+        usable = remaining - (FALLBACK_RESERVE_S if best is None else 0)
+        if usable < 120:
             break
-        run_extras = best is None  # extras once, on the first worker
+        run_extras = attempt == 0  # extras once, on the first worker
         res = _run_worker(mode, run_extras,
-                          min(WORKER_TIMEOUT_S, remaining))
+                          min(EXTRAS_TIMEOUT_S if run_extras
+                              else WORKER_TIMEOUT_S, usable))
         attempt += 1
         if res and isinstance(res.get("value"), (int, float)):
             if best is None or res["value"] > best["value"]:
@@ -105,9 +118,11 @@ def main():
             if time.time() + 180 < t_end:
                 time.sleep(120)
     if best is None:
-        # TPU unreachable inside the budget: CPU fallback so a JSON
-        # line still lands for the driver
-        best = _run_worker("serial", False, 600, platform="cpu")
+        # TPU unreachable inside the budget: CPU fallback (inside the
+        # reserved slice of the budget) so a JSON line still lands for
+        # the driver on time
+        best = _run_worker("serial", False,
+                           max(120, t_end - time.time()), platform="cpu")
     if best is None:
         best = {"metric": "ssd300_images_per_sec", "value": 0.0,
                 "unit": "img/s", "vs_baseline": 0.0,
@@ -224,7 +239,10 @@ def worker(mode, extras):
     extra = {"batch": B, "mode": mode,
              "backend": jax.default_backend(),
              "windows": windows,
-             "p50_ms_per_image": round(1000.0 / best_w["ips"], 3),
+             # reciprocal of the best window's throughput — a
+             # best-case per-image mean, NOT a latency percentile
+             # (B=1 p50 latency is measured separately in extras)
+             "ms_per_image_best_window": round(1000.0 / best_w["ips"], 3),
              "note": ("best of {} windows; H2D overlapped with compute "
                       "(depth-1)".format(WINDOWS)) if mode == "overlap"
              else "best of {} serial windows".format(WINDOWS)}
@@ -287,12 +305,14 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
     try:
         out["p50_latency_ms_b1"] = _with_deadline(_b1_latency, 120)
     except Exception as e:
-        out["p50_latency_ms_b1"] = "skipped: {}".format(type(e).__name__)
+        out["p50_latency_ms_b1"] = "skipped: {}: {}".format(
+            type(e).__name__, str(e)[:160].replace("\n", " "))
     try:
         out["train_img_per_sec"] = _with_deadline(
             lambda: round(_train_throughput(cfg), 1), 240)
     except Exception as e:
-        out["train_img_per_sec"] = "skipped: {}".format(type(e).__name__)
+        out["train_img_per_sec"] = "skipped: {}: {}".format(
+            type(e).__name__, str(e)[:160].replace("\n", " "))
     return out
 
 

@@ -106,12 +106,15 @@ def _get(tree, path):
 
 def elementwise_estimate(rows):
     """Analytic non-MAC flops the XLA count includes on top of the conv
-    MACs: one ReLU compare per activated conv output element (every
-    conv in this zoo except the loc/conf heads and L2Norm-adjacent
-    taps is ReLU'd) plus the L2Norm on the first source (~5 flops/elem:
-    square, sum, rsqrt, div, scale). Returns flops (not MACs)."""
-    relu = sum(hw[0] * hw[1] * k[3] for _, k, hw, _ in rows)
-    return relu
+    MACs: one ReLU compare per activated conv output element — every
+    conv in this zoo is ReLU'd EXCEPT the loc/conf head convs — plus
+    the L2Norm on the first (conv4_3-sized) source, ~5 flops/elem
+    (square, sum, rsqrt, div, scale). Returns flops (not MACs)."""
+    relu = sum(hw[0] * hw[1] * k[3] for name, k, hw, _ in rows
+               if "head/" not in name)
+    l2n = sum(5 * hw[0] * hw[1] * k[2] for name, k, hw, _ in rows
+              if name.endswith("head/loc_0/conv"))  # source 0 elems
+    return relu + l2n
 
 
 def main():

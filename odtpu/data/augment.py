@@ -198,18 +198,34 @@ class SSDAugmentation:
         # step-by-step TB dumps (reference Compose tb_writer hook,
         # augmentations.py:395-404); attach_writer() arms it
         self.tb_writer = None
-        self._dumps_left = 0
+        self._max_dumps = 0
+        self._dumps_done = 0
+        import threading
+        self._dump_lock = threading.Lock()
 
     def attach_writer(self, tb_writer, max_dumps=8):
         """Arm per-stage augmentation image dumps (one TB image per
-        pipeline stage for the next `max_dumps` items). Debug aid —
-        use with a single loader worker; TB writes aren't synchronized
-        across worker threads."""
+        pipeline stage for the next `max_dumps` items). Debug aid;
+        dump slots are claimed under a lock and TB writes are
+        serialized, so multi-worker loaders stay at most `max_dumps`
+        items with increasing step numbers."""
         self.tb_writer = tb_writer
-        self._dumps_left = int(max_dumps)
+        self._max_dumps = int(max_dumps)
+        self._dumps_done = 0
 
-    def _dump(self, stage, img, boxes, labels):
-        if self.tb_writer is None or self._dumps_left <= 0:
+    def _claim_dump_slot(self):
+        """Atomically claim the next dump index, or None when spent."""
+        if self.tb_writer is None:
+            return None
+        with self._dump_lock:
+            if self._dumps_done >= self._max_dumps:
+                return None
+            idx = self._dumps_done
+            self._dumps_done += 1
+            return idx
+
+    def _dump(self, stage, img, boxes, labels, step):
+        if self.tb_writer is None:
             return
         from ..utils.visualize import vis_img_box
         u8 = np.clip(img, 0, 255).astype(np.uint8)
@@ -218,9 +234,10 @@ class SSDAugmentation:
             gt = np.concatenate(
                 [np.asarray(boxes, np.float32).reshape(-1, 4),
                  np.asarray(labels, np.float32).reshape(-1, 1)], axis=1)
-        vis_img_box(u8, {"gt": gt} if gt is not None else {},
-                    self.tb_writer, tag="augmentation/" + stage,
-                    step=self._dumps_left)
+        with self._dump_lock:
+            vis_img_box(u8, {"gt": gt} if gt is not None else {},
+                        self.tb_writer, tag="augmentation/" + stage,
+                        step=step)
 
     def base(self, img):
         img = cv2.resize(img, (self.size[1], self.size[0]))
@@ -237,22 +254,23 @@ class SSDAugmentation:
         boxes = boxes.astype(np.float32).copy()
         boxes[:, 0::2] *= w  # to absolute
         boxes[:, 1::2] *= h
-        dump = self.tb_writer is not None and self._dumps_left > 0
+        slot = self._claim_dump_slot()
+        dump = slot is not None
         if dump:
-            self._dump("0_input", img, boxes, labels)
+            self._dump("0_input", img, boxes, labels, slot)
         if not self.device_photometric:
             img = photometric_distort(img, rng)
             if dump:
-                self._dump("1_photometric", img, boxes, labels)
+                self._dump("1_photometric", img, boxes, labels, slot)
         img, boxes = random_expand(img, boxes, rng, self.mean)
         if dump:
-            self._dump("2_expand", img, boxes, labels)
+            self._dump("2_expand", img, boxes, labels, slot)
         img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
         if dump:
-            self._dump("3_crop", img, boxes, labels)
+            self._dump("3_crop", img, boxes, labels, slot)
         img, boxes = random_mirror(img, boxes, rng)
         if dump:
-            self._dump("4_mirror", img, boxes, labels)
+            self._dump("4_mirror", img, boxes, labels, slot)
         h, w, _ = img.shape
         boxes[:, 0::2] /= w  # to percent
         boxes[:, 1::2] /= h
@@ -260,8 +278,7 @@ class SSDAugmentation:
         if dump:
             self._dump("5_resize", img,
                        boxes * np.asarray([self.size[1], self.size[0]] * 2,
-                                          np.float32), labels)
-            self._dumps_left -= 1
+                                          np.float32), labels, slot)
         if self.device_photometric:
             return np.clip(img, 0, 255).astype(np.uint8), boxes, labels
         return img - self.mean, boxes, labels

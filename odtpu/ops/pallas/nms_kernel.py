@@ -68,11 +68,15 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, alive_ref,
 
     later = col[:, None, :] > col[:, :, None]  # [R, K, K]
     # iou > thresh restated division-free as inter > thresh*union
-    # (& union > 0): identical decisions for every reachable input —
+    # (& union > 0): same decisions for every reachable input —
     # inter > 0 implies both boxes are non-degenerate hence union > 0,
     # and zero-padded rows give inter = 0 = never kill. Avoiding the
-    # f32 iou tensor (and the divide) keeps the whole step's VMEM to
-    # the one bf16 kill matrix, which is what lets _ROWS=32 fit.
+    # f32 iou tensor (and the divide) roughly halves the step's live
+    # VMEM (see _ROWS above for what still bounds it). Caveat: the two
+    # forms round once each (multiply here, divide in ops/nms.py:45),
+    # so a pair within 1 ulp of the threshold could in principle
+    # decide differently; hardware parity sweeps at S=1..640 found no
+    # such pair, and eval thresholds (0.45) are nowhere near ulp-scale.
     kill_mat = ((inter > iou_thresh * union) & (union > 0.0)
                 & later).astype(jnp.bfloat16)
 

@@ -23,6 +23,7 @@ from typing import Any, Optional
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..layers.losses import multibox_loss
@@ -207,6 +208,13 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     def wrapped(state, images, boxes, labels):
         return jitted(state, priors_dev, images, boxes, labels)
 
+    # benchmark/profiling tools re-jit the step inside a chained
+    # fori_loop; give them the unjitted step + committed priors so
+    # priors ride as a loop-invariant ARGUMENT (a closure-captured
+    # device array inside an outer jit re-introduces the tunnel
+    # degradation documented in the module docstring)
+    wrapped.raw_step = step
+    wrapped.priors = priors_dev
     return wrapped
 
 
@@ -262,17 +270,52 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
         return {"rows": rows, "dropped": n_dense - n_kept}
 
     # priors as a jit *argument*, not a closure (see make_train_step note)
-    if mesh is None:
+    multiproc = mesh is not None and jax.process_count() > 1
+    if mesh is None or multiproc:
+        # Multi-process: each host evaluates its loader slice on its
+        # LOCAL devices (the eval loader shards the index space; rows
+        # are all-gathered at the end — odtpu/data/__init__.py,
+        # evaluator._gather_multihost). A global-mesh jit cannot
+        # consume the host-local numpy batches validate() feeds it, so
+        # eval runs unsharded per host. Params arrive committed to the
+        # global mesh; localize them once per distinct params tree (a
+        # per-batch device_get would dominate the loop).
+        if multiproc:
+            assert mesh.shape.get("model", 1) == 1, (
+                "multi-process eval requires MESH_MODEL=1 (a TP-sharded "
+                "model cannot be evaluated host-locally)")
         jitted = jax.jit(step)
         priors_dev = jax.device_put(jnp.asarray(priors))
-    else:
-        b_sh = batch_sharding(mesh)
-        jitted = jax.jit(step,
-                         in_shardings=(None, None, replicated(mesh), b_sh),
-                         out_shardings=b_sh)
-        priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
+        cache = {}
+
+        def localize(tree):
+            if not multiproc or tree is None:
+                return tree
+            key = id(tree)
+            if cache.get("key") != key:
+                cache["key"] = key
+                cache["val"] = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(jax.device_get(x)))
+                    if isinstance(x, jax.Array) else x, tree)
+            return cache["val"]
+
+        def wrapped(params, batch_stats, images):
+            return jitted(localize(params), localize(batch_stats),
+                          priors_dev, images)
+
+        wrapped.raw_step = step
+        wrapped.priors = priors_dev
+        return wrapped
+
+    b_sh = batch_sharding(mesh)
+    jitted = jax.jit(step,
+                     in_shardings=(None, None, replicated(mesh), b_sh),
+                     out_shardings=b_sh)
+    priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
 
     def wrapped(params, batch_stats, images):
         return jitted(params, batch_stats, priors_dev, images)
 
+    wrapped.raw_step = step
+    wrapped.priors = priors_dev
     return wrapped

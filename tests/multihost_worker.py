@@ -78,11 +78,43 @@ def main():
     assert len(visited) < loader.num_items
 
     # multi-process global-batch assembly
-    from odtpu.parallel import make_mesh, shard_batch
+    from odtpu.parallel import allgather_host_rows, make_mesh, shard_batch
     mesh = make_mesh()  # all 4 global devices on the data axis
     local = {"x": np.full((2, 4), args.rank, np.float32)}
     garr = shard_batch(local, mesh)
     assert garr["x"].shape == (2 * args.world, 4), garr["x"].shape
+
+    # the REAL jitted eval step must consume the host-local batches the
+    # sharded loader produces (make_eval_step switches to a host-local
+    # jit when process_count > 1 — a global-mesh jit cannot): run the
+    # full solver loop with a tiny real model end-to-end
+    from odtpu.models import init_model, model_factory
+    from odtpu.parallel import create_train_state, make_eval_step
+    tcfg = default_cfg()
+    tcfg.DATASET.DATASET_DIR = args.root
+    tcfg.DATASET.EVAL_BATCH_SIZE = 2
+    tcfg.DATASET.NUM_WORKERS = 1
+    tcfg.TPU.COMPUTE_DTYPE = "float32"
+    tcfg.DATASET.IMAGE_SIZE = (64, 64)
+    tcfg.MODEL.IMAGE_SIZE = (64, 64)
+    tcfg.MODEL.STEPS = [8, 16, 32, 64]
+    tcfg.MODEL.MIN_SIZES = [8, 16, 32, 48]
+    tcfg.MODEL.MAX_SIZES = [16, 32, 48, 64]
+    tcfg.MODEL.ASPECT_RATIOS = [[2], [2], [2], [2]]
+    tcfg.MODEL.EXTRAS = [128, "S", 256, 64, "S", 128]
+    update_cfg(tcfg)
+    model, priors, _ = model_factory("eval", tcfg)
+    # params committed to the GLOBAL mesh, as train.py produces them
+    state, _ = create_train_state(model, tcfg, mesh=mesh)
+    eval_fn = make_eval_step(model, priors, tcfg, mesh=mesh)
+    loader2 = dataset_factory("eval", tcfg)
+    solver2 = eval_solver_factory(loader2, tcfg, args.out + "_real")
+    solver2.validate(eval_fn, state.params, state.batch_stats)
+    # every image evaluated exactly once across the world
+    local_imgs = solver2.last_timing["images"]
+    total = allgather_host_rows(
+        np.full((1, 1), local_imgs, np.float32))[:, 0].sum()
+    assert int(total) == loader2.num_items, (total, loader2.num_items)
 
     print(f"MULTIHOST_OK rank={args.rank} mAP={mAP:.4f}")
     sys.stdout.flush()

@@ -77,7 +77,8 @@ def test_augmentation_step_dumps(tmp_path):
     labels = np.array([3], np.int64)
     for _ in range(4):  # only the first 2 items dump
         aug(img, boxes, labels, rng=rng)
-    assert aug._dumps_left == 0
+    assert aug._dumps_done == 2
+    assert aug._claim_dump_slot() is None  # budget spent
     tb.close()
     files = _event_files(str(tmp_path))
     assert files and os.path.getsize(files[0]) > 5000

@@ -95,17 +95,25 @@ def main():
 
             # RTT-free on-chip truth: chain the iterations inside ONE
             # jit; the data dependence through the carry stops XLA
-            # from hoisting/CSE-ing the repeated step
+            # from hoisting/CSE-ing the repeated step. Priors thread
+            # through as a loop-invariant ARGUMENT via step.raw_step —
+            # jitting over the wrapper would capture its committed
+            # priors array as a closure constant (the documented
+            # tunnel-degrading pattern).
             N_CHAIN = args.iters
+            raw_step = step.raw_step
 
             @jax.jit
-            def chained(params, stats, x0):
+            def chained_jit(params, stats, priors_arg, x0):
                 def body(i, carry):
                     xc, acc = carry
-                    o = step(params, stats, xc)
+                    o = raw_step(params, stats, priors_arg, xc)
                     s = jnp.sum(o["rows"] if isinstance(o, dict) else o)
                     return xc + s * 1e-30, acc + s
                 return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+
+            def chained(params, stats, x, _jit=chained_jit, _p=step.priors):
+                return _jit(params, stats, _p, x)
 
             float(chained(params, stats, x))  # compile
             t0 = time.time()

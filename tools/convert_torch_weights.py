@@ -127,7 +127,10 @@ def convert_ssd(src, dst):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mode = "ssd" if "--mode" in sys.argv and \
-        sys.argv[sys.argv.index("--mode") + 1] == "ssd" else "vgg"
-    (convert_ssd if mode == "ssd" else convert_vgg)(argv[0], argv[1])
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("src", help="torch checkpoint (.pth)")
+    ap.add_argument("dst", help="output .npz")
+    ap.add_argument("--mode", choices=["vgg", "ssd"], default="vgg")
+    args = ap.parse_args()
+    (convert_ssd if args.mode == "ssd" else convert_vgg)(args.src, args.dst)

@@ -78,14 +78,22 @@ def main():
             name, dt, B / dt * 1000))
         return dt
 
-    # full train step, chained (state threads the dependence naturally)
+    # full train step, chained (state threads the dependence naturally);
+    # priors ride as a loop-invariant argument via step.raw_step —
+    # jitting over the wrapper would capture its committed priors array
+    # as a closure constant (the documented tunnel-degrading pattern)
+    raw_step = step.raw_step
+
     @jax.jit
-    def chained_step(state, imgs, boxes, labels):
+    def chained_jit(state, priors_arg, imgs, boxes, labels):
         def body(i, carry):
             st, acc = carry
-            st, m = step(st, imgs, boxes, labels)
+            st, m = raw_step(st, priors_arg, imgs, boxes, labels)
             return st, acc + m["loss"]
         return jax.lax.fori_loop(0, N, body, (state, 0.0))[1]
+
+    def chained_step(state, imgs, boxes, labels):
+        return chained_jit(state, step.priors, imgs, boxes, labels)
 
     bench("train step (aug+fwd+bwd+update)", chained_step,
           state, imgs_d, boxes_d, labels_d)

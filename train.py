@@ -172,6 +172,11 @@ def main(argv=None):
                 (batch["images"], batch["boxes"], batch["labels"]), mesh)
             state, metrics = step_fn(state, *sharded)
             it += 1
+            if it == start_step + 1:
+                # sync once so the first throughput window doesn't bill
+                # the jit compile to the train steps
+                jax.device_get(metrics)
+                last_log_iter, last_log_time = it, time.time()
             if pending is not None and pending[0] % log_every == 0:
                 # device_get of the one-step-old metrics SYNCS on that
                 # step's completion, so wall time between consumption
@@ -200,6 +205,8 @@ def main(argv=None):
             if it % save_every == 0 or it == max_iter:
                 ckpt.save(it, state)
                 print("saved checkpoint at", it)
+                # reset the throughput window: save time isn't step time
+                last_log_iter, last_log_time = it, time.time()
             if it % eval_every == 0 or it == max_iter:
                 res, maps = eval_solver.validate(
                     eval_fn, state.params, state.batch_stats, tb_writer=tb)
@@ -207,6 +214,9 @@ def main(argv=None):
                 tb.add_scalar("mAP/mAP@0.5", maps[0], it)
                 if len(maps) > 1:
                     tb.add_scalar("mAP/mAP@[.5:.95]", maps[1], it)
+                # reset the throughput window: the eval pass (and its
+                # compiles) would otherwise be billed to train steps
+                last_log_iter, last_log_time = it, time.time()
 
     ckpt.save(max_iter, state, force=True)
     tb.close()
