@@ -283,8 +283,9 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             signal.signal(signal.SIGALRM, old)
 
     def _b1_latency():
-        # serving path at B=1 through the production (Pallas on TPU)
-        # kernel — hardware-verified bit-exact at single-set grids
+        # serving path at B=1; detect routes tiny grids to the
+        # bit-identical lax NMS (see ops/detect.py _PALLAS_MIN_SETS —
+        # the composed pallas graph faults the axon worker at B=1)
         import cv2
         import jax
         import numpy as np

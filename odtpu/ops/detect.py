@@ -42,17 +42,28 @@ def _resolve_impl(impl: str) -> str:
     return impl
 
 
+# Measured environment-level fault (2026-08-17, axon tunnel): the
+# COMPOSED eval graph (decode + top-k + Pallas NMS inside one jit)
+# crashes the remote TPU worker when the kernel grid is tiny — B=1
+# (20 candidate sets) faults reproducibly, B=4 (80 sets) and up run
+# clean — and it does so for EVERY kernel version tried, including the
+# exact code hardware-verified bit-parity at single-set grids when
+# called standalone (commit df1589f; re-verified standalone this
+# round at S ∈ {1,8,20,80,640}). The fault is therefore in the
+# platform's handling of the composed program, not in the kernel;
+# until it clears, sub-64-set workloads take the bit-identical (and
+# amply fast at this size: [S,200,200] IoU) lax path.
+_PALLAS_MIN_SETS = 64
+
+
 def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
                    nms_thresh: float, top_k: int, impl: str = "auto"):
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
-    (score, x1, y1, x2, y2), zero padded, descending score.
-
-    The fused Pallas kernel is hardware-verified bit-exact against the
-    lax path at every grid size down to a single candidate set (B=1
-    serving included) — the round-1 small-grid TPU worker fault was
-    fixed by the f32 alive-mask output and zero-guarded IoU denominator
-    (nms_kernel.py), so there is no small-workload detour anymore."""
+    (score, x1, y1, x2, y2), zero padded, descending score."""
     impl = _resolve_impl(impl)
+    if impl == "pallas" and \
+            decoded.shape[0] * conf_fg.shape[-1] < _PALLAS_MIN_SETS:
+        impl = "lax"
     if impl == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
         return per_class_nms_pallas(decoded, conf_fg, conf_thresh,
