@@ -36,26 +36,17 @@ def main(argv=None):
     import numpy as np
 
     from odtpu.data.voc import VOC_CLASSES
-    from odtpu.models import init_model, model_factory
+    from odtpu.models import model_factory
     from odtpu.ops.detect import detect_out_compact
-    from odtpu.utils.checkpoint import Checkpointer
+    from odtpu.utils.checkpoint import restore_eval_variables
     from odtpu.utils.config import load_cfg
 
     cfg = load_cfg(args.cfg if args.cfg and osp.isfile(args.cfg) else None)
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)
-    variables = init_model(model, cfg)
-    if args.ckpt and osp.isdir(args.ckpt):
-        from odtpu.parallel import create_train_state
-        state, _ = create_train_state(model, cfg)
-        state = Checkpointer(args.ckpt).restore(state)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        print("restored checkpoint step", int(np.asarray(state.step)))
-    else:
-        print("WARNING: no checkpoint; drawing random-init detections")
+    # --ckpt takes an orbax dir OR a converted reference .npz
+    variables = restore_eval_variables(model, cfg, args.ckpt)
 
     img = cv2.imread(args.image)
     if img is None:

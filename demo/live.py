@@ -35,7 +35,7 @@ def main(argv=None):
     import numpy as np
 
     from odtpu.data.voc import VOC_CLASSES
-    from odtpu.models import init_model, model_factory
+    from odtpu.models import model_factory
     from odtpu.ops.detect import detect_out_compact
     from odtpu.utils.config import load_cfg
 
@@ -43,15 +43,9 @@ def main(argv=None):
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)
-    variables = init_model(model, cfg)
-    if args.ckpt and osp.isdir(args.ckpt):
-        from odtpu.parallel import create_train_state
-        from odtpu.utils.checkpoint import Checkpointer
-        state, _ = create_train_state(model, cfg)
-        state = Checkpointer(args.ckpt).restore(state)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+    # --ckpt takes an orbax dir OR a converted reference .npz
+    from odtpu.utils.checkpoint import restore_eval_variables
+    variables = restore_eval_variables(model, cfg, args.ckpt)
 
     priors_j = jnp.asarray(priors)
     variances = tuple(cfg.MODEL.VARIANCE)

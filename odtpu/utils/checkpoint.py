@@ -60,6 +60,37 @@ class Checkpointer:
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def restore_eval_variables(model, cfg, path=""):
+    """Eval-time weight resolution shared by the demos and the serving
+    endpoint: `path` may be an orbax checkpoint directory, a converted
+    model `.npz` (tools/convert_torch_weights.py --mode ssd — i.e. a
+    reference-trained .pth), or empty (random init + warning).
+
+    Returns a flax variables dict {"params": ..., ["batch_stats": ...]}.
+    """
+    import os.path as osp
+
+    from ..models import init_model
+    variables = init_model(model, cfg)
+    if path and osp.isfile(path) and path.endswith(".npz"):
+        params, loaded, skipped = load_model_npz(variables["params"], path)
+        variables = dict(variables, params=params)
+        print("model npz import: {} loaded, {} skipped".format(
+            len(loaded), len(skipped)))
+    elif path and osp.isdir(path):
+        from ..parallel import create_train_state
+        state, _ = create_train_state(model, cfg)
+        state = Checkpointer(path).restore(state)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        print("restored checkpoint step", int(np.asarray(state.step)))
+    else:
+        print("WARNING: no checkpoint at {!r}; using random init"
+              .format(path))
+    return variables
+
+
 def load_model_npz(params, npz_path):
     """Merge a full converted model checkpoint into a param tree.
 

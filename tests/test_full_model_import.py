@@ -144,6 +144,24 @@ def test_head_conv_torch_parity(converted, loaded_params):
     np.testing.assert_allclose(j_rows, t_rows, rtol=2e-5, atol=2e-5)
 
 
+def test_restore_eval_variables_npz(converted):
+    """The demos/serve share restore_eval_variables: an .npz path loads
+    the converted checkpoint; a bogus path falls back to init."""
+    from odtpu.utils.checkpoint import restore_eval_variables
+    _, _, path = converted
+    cfg = default_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model, priors, _ = model_factory("eval", cfg)
+    variables = restore_eval_variables(model, cfg, path)
+    sd = make_reference_state_dict()
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    np.testing.assert_array_equal(flat[("l2norm", "scale")],
+                                  sd["L2Norm.weight"])
+    v2 = restore_eval_variables(model, cfg, "/nonexistent")
+    assert ("params" in v2
+            and v2["params"]["l2norm"]["scale"].shape == (512,))
+
+
 def test_fpn_transform_pyramid_mapping():
     """FPN lateral/output convs (reference fpn_v2.py:45-46) land on
     transform_N/pyramid_N with the OIHW->HWIO transpose."""

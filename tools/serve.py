@@ -36,7 +36,7 @@ def build_engine(cfg_path="", ckpt=""):
     import numpy as np
 
     from odtpu.data.voc import VOC_CLASSES
-    from odtpu.models import init_model, model_factory
+    from odtpu.models import model_factory
     from odtpu.ops.detect import detect_out_compact
     from odtpu.utils.config import load_cfg
 
@@ -44,15 +44,9 @@ def build_engine(cfg_path="", ckpt=""):
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)
-    variables = init_model(model, cfg)
-    if ckpt and osp.isdir(ckpt):
-        from odtpu.parallel import create_train_state
-        from odtpu.utils.checkpoint import Checkpointer
-        state, _ = create_train_state(model, cfg)
-        state = Checkpointer(ckpt).restore(state)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+    # ckpt takes an orbax dir OR a converted reference .npz
+    from odtpu.utils.checkpoint import restore_eval_variables
+    variables = restore_eval_variables(model, cfg, ckpt)
 
     priors_dev = jax.device_put(jnp.asarray(priors))
     mean_dev = jax.device_put(
