@@ -181,6 +181,64 @@ def test_fpn_transform_pyramid_mapping():
         out["pyramid_3/conv/bias"], sd["pyramids.3.bias"])
 
 
+def test_full_detector_torch_parity(converted, loaded_params):
+    """Whole-model numeric parity: a torch SSD300 forward (VGG16 base +
+    L2Norm + extras + heads wired per the documented reference dataflow,
+    ssd_v3.py:97-121, built from this test's own spec tables) must match
+    our model.apply on the CONVERTED weights — locking conversion AND
+    model semantics to torch numerics end-to-end."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from test_backbone_import import build_torch_vgg, make_weights
+
+    sd, _, _ = converted
+    model, priors, variables, params, _, _ = loaded_params
+
+    vggnet = build_torch_vgg(make_weights(0))
+    # extras conv geometry per parse_extras(EXTRAS_SPEC['ssd300']):
+    # (kernel, stride, padding) per conv; relu after each
+    geom = [(1, 1, 0), (3, 2, 1), (1, 1, 0), (3, 2, 1),
+            (1, 1, 0), (3, 1, 0), (1, 1, 0), (3, 1, 0)]
+
+    rs = np.random.RandomState(11)
+    x = rs.randn(1, 3, 300, 300).astype(np.float32) * 40.0
+
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        c43 = vggnet[:23](t)          # relu after conv4_3
+        c7 = vggnet(t)                # relu after conv7
+        # L2Norm: x / ||x||_2(channel) * scale  (l2norm.py:18-23)
+        w = torch.from_numpy(sd["L2Norm.weight"])
+        norm = c43.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10
+        s0 = c43 / norm * w[None, :, None, None]
+        sources = [s0, c7]
+        f = c7
+        for i, (k, st, p) in enumerate(geom):
+            cw = torch.from_numpy(sd[f"extras.{i}.weight"])
+            cb = torch.from_numpy(sd[f"extras.{i}.bias"])
+            f = F.relu(F.conv2d(f, cw, cb, stride=st, padding=p))
+            if i % 2 == 1:
+                sources.append(f)
+        locs, confs = [], []
+        for i, src in enumerate(sources):
+            for mod, outs in (("loc", locs), ("conf", confs)):
+                cw = torch.from_numpy(sd[f"{mod}.{i}.weight"])
+                cb = torch.from_numpy(sd[f"{mod}.{i}.bias"])
+                o = F.conv2d(src, cw, cb, padding=1)
+                outs.append(o.permute(0, 2, 3, 1).reshape(1, -1))
+        t_loc = torch.cat(locs, 1).reshape(1, -1, 4).numpy()
+        t_conf = torch.cat(confs, 1).reshape(1, -1, 21).numpy()
+
+    j_loc, j_conf = model.apply({"params": params},
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                phase="train", train=False)
+    assert j_loc.shape == t_loc.shape and j_conf.shape == t_conf.shape
+    np.testing.assert_allclose(np.asarray(j_loc), t_loc,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_conf), t_conf,
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_full_forward_runs_and_regresses(loaded_params):
     """Loaded full checkpoint produces a stable forward (shape + finite
     + deterministic across two applies)."""
