@@ -241,8 +241,13 @@ class SSDAugmentation:
 
     def base(self, img):
         img = cv2.resize(img, (self.size[1], self.size[0]))
-        if self.device_normalize:
-            return np.ascontiguousarray(img)  # uint8 BGR
+        if self.device_normalize or self.device_photometric:
+            # uint8 BGR: the device half normalizes. device_photometric
+            # matters here too — zero-GT train items take this early
+            # path and must keep the batch's uint8 dtype (an f32 item
+            # would promote the stacked batch, retrace the train step,
+            # and get the mean subtracted twice)
+            return np.ascontiguousarray(img)
         return img.astype(np.float32) - self.mean
 
     def __call__(self, img, boxes=None, labels=None, rng=None):

@@ -61,8 +61,11 @@ def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
     (score, x1, y1, x2, y2), zero padded, descending score."""
     impl = _resolve_impl(impl)
-    if impl == "pallas" and \
-            decoded.shape[0] * conf_fg.shape[-1] < _PALLAS_MIN_SETS:
+    if (impl == "pallas"
+            and decoded.shape[0] * conf_fg.shape[-1] < _PALLAS_MIN_SETS
+            and jax.default_backend() == "tpu"):
+        # the fault is TPU-platform-specific: off-TPU (interpret-mode
+        # tests) explicit impl='pallas' must keep exercising the kernel
         impl = "lax"
     if impl == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas

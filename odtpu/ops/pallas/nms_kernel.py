@@ -44,9 +44,11 @@ def _round_up(x: int, m: int) -> int:
 _ROWS = 16
 
 # candidates whose kill rows are fetched per fori step (one batched MXU
-# contraction) and then applied as dependent VPU sub-steps. Chunks past
-# `k` contribute identity updates (onehot == 0 beyond column k-1), so
-# any k works, padded or not.
+# contraction) and then applied as dependent VPU sub-steps. Tail-chunk
+# sub-steps with index >= k are identity updates because alive0's
+# `col < k` term keeps those (lane-padded) candidates dead, so their
+# alive_i reads are 0 — the one-hots themselves ARE nonzero for
+# k <= index < Kp; do not drop the col<k mask.
 _CHUNK = 8
 
 

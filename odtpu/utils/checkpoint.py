@@ -74,9 +74,26 @@ def restore_eval_variables(model, cfg, path=""):
     variables = init_model(model, cfg)
     if path and osp.isfile(path) and path.endswith(".npz"):
         params, loaded, skipped = load_model_npz(variables["params"], path)
+        if not loaded:
+            # every key mismatched: almost certainly an .npz converted
+            # for a different model family — serving random init while
+            # claiming this checkpoint would be silent garbage
+            raise ValueError(
+                "no tensor in {!r} matched the {} model's param tree "
+                "({} keys skipped); was it converted for a different "
+                "MODEL.SSD_TYPE/BASE?".format(
+                    path, cfg.MODEL.SSD_TYPE, len(skipped)))
         variables = dict(variables, params=params)
         print("model npz import: {} loaded, {} skipped".format(
             len(loaded), len(skipped)))
+    elif path and osp.isfile(path):
+        raise ValueError(
+            "{!r} is a file but not a .npz — torch .pth checkpoints "
+            "must be converted first: tools/convert_torch_weights.py "
+            "--mode ssd <pth> <npz>".format(path))
+    elif path and not osp.isdir(path):
+        raise FileNotFoundError(
+            "checkpoint path {!r} does not exist".format(path))
     elif path and osp.isdir(path):
         from ..parallel import create_train_state
         state, _ = create_train_state(model, cfg)

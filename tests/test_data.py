@@ -151,3 +151,21 @@ def test_pad_batch_to(voc_root):
     last, valid = pad_batch_to(batches[-1], 5)
     assert last["images"].shape[0] == 5
     assert valid == 3
+
+
+def test_device_photometric_stays_uint8():
+    """Geometry runs in u8 end to end in device-photometric mode, and a
+    zero-GT item (all-difficult image) must keep the batch's uint8
+    dtype — an f32 item would promote the stacked batch and retrace the
+    train step with doubly-normalized pixels."""
+    rng = np.random.default_rng(0)
+    aug = SSDAugmentation((300, 300), device_photometric=True)
+    img = (rng.integers(0, 255, (240, 320, 3))).astype(np.uint8)
+    boxes = np.array([[0.1, 0.1, 0.6, 0.6]], np.float32)
+    labels = np.array([3])
+    for i in range(8):  # expand/crop/mirror paths all hit over 8 draws
+        out, b, l = aug(img, boxes, labels, rng=np.random.default_rng(i))
+        assert out.dtype == np.uint8 and out.shape == (300, 300, 3)
+    out, b, l = aug(img, np.zeros((0, 4), np.float32),
+                    np.zeros((0,), np.int64), rng=rng)
+    assert out.dtype == np.uint8 and out.shape == (300, 300, 3)

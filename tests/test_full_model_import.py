@@ -157,7 +157,14 @@ def test_restore_eval_variables_npz(converted):
     flat = flax.traverse_util.flatten_dict(variables["params"])
     np.testing.assert_array_equal(flat[("l2norm", "scale")],
                                   sd["L2Norm.weight"])
-    v2 = restore_eval_variables(model, cfg, "/nonexistent")
+    # explicit-but-unusable paths are errors (serving random weights
+    # while claiming a checkpoint would be silent garbage)...
+    with pytest.raises(FileNotFoundError):
+        restore_eval_variables(model, cfg, "/nonexistent")
+    with pytest.raises(ValueError):
+        restore_eval_variables(model, cfg, __file__)  # file, not .npz
+    # ...but an empty path is an explicit "random init" request
+    v2 = restore_eval_variables(model, cfg, "")
     assert ("params" in v2
             and v2["params"]["l2norm"]["scale"].shape == (512,))
 
