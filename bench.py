@@ -40,12 +40,12 @@ import time
 BASELINE_FPS = 46.0
 PARENT_BUDGET_S = int(os.environ.get("ODTPU_BENCH_BUDGET_S", "780"))
 WORKER_TIMEOUT_S = 330
-# the extras carry their own alarm deadlines (120s B=1 latency + 240s
-# train throughput) on top of the primary windows, so the worker that
-# runs them needs headroom beyond WORKER_TIMEOUT_S or a slow-compile
-# phase kills it AFTER the primary result was measured but before the
-# JSON printed
-EXTRAS_TIMEOUT_S = WORKER_TIMEOUT_S + 120 + 240
+# the extras carry their own alarm deadlines (120s B=1 latency + 120s
+# on-chip B=1 + 240s train throughput) on top of the primary windows,
+# so the worker that runs them needs headroom beyond WORKER_TIMEOUT_S
+# or a slow-compile phase kills it AFTER the primary result was
+# measured but before the JSON printed
+EXTRAS_TIMEOUT_S = WORKER_TIMEOUT_S + 120 + 120 + 240
 # kept free for the CPU fallback so the one JSON line always lands
 # inside PARENT_BUDGET_S (the deadline contract with the driver)
 FALLBACK_RESERVE_S = 300
@@ -103,7 +103,8 @@ def main():
             if best is None or res["value"] > best["value"]:
                 extra_keep = {}
                 if best is not None:
-                    for k in ("p50_latency_ms_b1", "train_img_per_sec"):
+                    for k in ("p50_latency_ms_b1", "onchip_ms_b1",
+                              "train_img_per_sec"):
                         if k in best.get("extra", {}):
                             extra_keep[k] = best["extra"][k]
                 best = res
@@ -235,9 +236,16 @@ def worker(mode, extras):
         ips = run_window(WIN_BATCHES)
         windows.append({"ips": round(ips, 2), "h2d_mbps": round(bw, 1)})
     best_w = max(windows, key=lambda w: w["ips"])
+    median_ips = float(np.median([w["ips"] for w in windows]))
 
     extra = {"batch": B, "mode": mode,
              "backend": jax.default_backend(),
+             # the headline "value" is the best window (and the parent
+             # keeps the best across retries) — an envelope over tunnel
+             # phases, not a steady-state mean; median_ips is the
+             # middle window of THIS worker for comparison
+             "headline_selection": "best_window_best_attempt",
+             "median_ips": round(median_ips, 2),
              "windows": windows,
              # reciprocal of the best window's throughput — a
              # best-case per-image mean, NOT a latency percentile
@@ -249,7 +257,7 @@ def worker(mode, extras):
 
     if extras:
         extra.update(_extras(cfg, model, variables, priors_d, mean_dev,
-                             variances, raw, infer))
+                             variances, raw, infer, infer_fn))
 
     print(json.dumps({
         "metric": "ssd300_images_per_sec",
@@ -261,7 +269,7 @@ def worker(mode, extras):
 
 
 def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
-            infer):
+            infer, infer_fn):
     """B=1 serving latency + train throughput, each under a deadline so
     a wedging tunnel can't stop the worker's primary JSON."""
     import signal
@@ -283,9 +291,9 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             signal.signal(signal.SIGALRM, old)
 
     def _b1_latency():
-        # serving path at B=1; detect routes tiny grids to the
-        # bit-identical lax NMS (see ops/detect.py _PALLAS_MIN_SETS —
-        # the composed pallas graph faults the axon worker at B=1)
+        # serving path at B=1; detect pads the candidate-set axis up to
+        # the verified-clean kernel grid so the Pallas NMS serves B=1
+        # too (ops/detect.py _PALLAS_MIN_SETS)
         import cv2
         import jax
         import numpy as np
@@ -303,10 +311,48 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             lat.append(time.time() - t1)
         return round(float(np.percentile(lat, 50) * 1000), 2)
 
+    def _b1_onchip():
+        # RTT-free on-chip B=1 latency: chain N full pipeline iterations
+        # inside ONE jit (data dependence through the carry prevents
+        # hoisting), so the ~30 ms tunnel round-trip that dominates
+        # p50_latency_ms_b1 amortizes to nothing (tools/profile_eval.py
+        # measures the same way)
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        device = jax.devices()[0]
+        x1 = jnp.asarray(cv2.resize(raw[0], (300, 300))[None])
+        xd = jax.device_put(x1, device)
+        N_CHAIN = 20
+
+        @jax.jit
+        def chained(variables, priors, x0_u8, mean):
+            def body(i, carry):
+                xc, acc = carry
+                out = infer_fn(variables, priors,
+                               xc.astype(jnp.uint8), mean)
+                s = jnp.sum(out[:, 0, 0])
+                return xc + s * 1e-30, acc + s
+            x0 = x0_u8.astype(jnp.float32)
+            return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+
+        float(chained(variables, priors_d, xd, mean_dev))  # compile
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(chained(variables, priors_d, xd, mean_dev))
+        return round((time.time() - t0) / reps / N_CHAIN * 1000, 2)
+
     try:
         out["p50_latency_ms_b1"] = _with_deadline(_b1_latency, 120)
     except Exception as e:
         out["p50_latency_ms_b1"] = "skipped: {}: {}".format(
+            type(e).__name__, str(e)[:160].replace("\n", " "))
+    try:
+        out["onchip_ms_b1"] = _with_deadline(_b1_onchip, 120)
+    except Exception as e:
+        out["onchip_ms_b1"] = "skipped: {}: {}".format(
             type(e).__name__, str(e)[:160].replace("\n", " "))
     try:
         out["train_img_per_sec"] = _with_deadline(

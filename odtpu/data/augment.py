@@ -114,7 +114,11 @@ def random_expand(img, boxes, rng, mean, max_ratio=4.0):
     left = int(rng.uniform(0.0, w * ratio - w))
     top = int(rng.uniform(0.0, h * ratio - h))
     canvas = np.empty((int(h * ratio), int(w * ratio), c), dtype=img.dtype)
-    canvas[:, :, :] = mean
+    # uint8 canvas (device-photometric mode): round the fill rather than
+    # truncate, so fractional PIXEL_MEANS (e.g. COCO-style 103.94) still
+    # cancel against the on-device mean subtract to within 0.5 LSB
+    canvas[:, :, :] = (np.rint(mean).astype(img.dtype)
+                       if np.issubdtype(img.dtype, np.integer) else mean)
     canvas[top:top + h, left:left + w] = img
     boxes = boxes.copy()
     boxes[:, 0::2] += left

@@ -48,12 +48,20 @@ def _resolve_impl(impl: str) -> str:
 # (20 candidate sets) faults reproducibly, B=4 (80 sets) and up run
 # clean — and it does so for EVERY kernel version tried, including the
 # exact code hardware-verified bit-parity at single-set grids when
-# called standalone (commit df1589f; re-verified standalone this
-# round at S ∈ {1,8,20,80,640}). The fault is therefore in the
-# platform's handling of the composed program, not in the kernel;
-# until it clears, sub-64-set workloads take the bit-identical (and
-# amply fast at this size: [S,200,200] IoU) lax path.
-_PALLAS_MIN_SETS = 64
+# called standalone (commit df1589f; re-verified standalone round 2
+# at S ∈ {1,8,20,80,640}). The fault is therefore in the platform's
+# handling of the composed program, not in the kernel; minimal repro:
+# tools/repro_composed_fault.py. Workaround (round 3): rather than
+# detouring small workloads to the lax path, the batch axis is padded
+# with dummy zero-score images up to the lowest composed-set count
+# verified clean on hardware (80 = the measured B=4 boundary; 64-79
+# was never hardware-tested), so B=1 serving runs the flagship kernel.
+# Zero-score sets are dead on arrival inside the kernel (alive0 needs
+# score > score_thresh with both >= 0) so padding cannot change the
+# kept rows; bit-parity of padded-vs-lax at B=1 is hardware-verified
+# (tests/test_pallas_nms.py::test_padded_small_batch covers CPU
+# interpret mode).
+_PALLAS_MIN_SETS = 80
 
 
 def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
@@ -61,16 +69,21 @@ def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
     (score, x1, y1, x2, y2), zero padded, descending score."""
     impl = _resolve_impl(impl)
-    if (impl == "pallas"
-            and decoded.shape[0] * conf_fg.shape[-1] < _PALLAS_MIN_SETS
-            and jax.default_backend() == "tpu"):
-        # the fault is TPU-platform-specific: off-TPU (interpret-mode
-        # tests) explicit impl='pallas' must keep exercising the kernel
-        impl = "lax"
     if impl == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
-        return per_class_nms_pallas(decoded, conf_fg, conf_thresh,
-                                    nms_thresh, top_k)
+        B, Cf = decoded.shape[0], conf_fg.shape[-1]
+        pad_b = 0
+        if B * Cf < _PALLAS_MIN_SETS and jax.default_backend() == "tpu":
+            pad_b = -(-_PALLAS_MIN_SETS // Cf) - B  # ceil-div
+            decoded = jnp.concatenate(
+                [decoded, jnp.zeros((pad_b,) + decoded.shape[1:],
+                                    decoded.dtype)], axis=0)
+            conf_fg = jnp.concatenate(
+                [conf_fg, jnp.zeros((pad_b,) + conf_fg.shape[1:],
+                                    conf_fg.dtype)], axis=0)
+        out = per_class_nms_pallas(decoded, conf_fg, conf_thresh,
+                                   nms_thresh, top_k)
+        return out[:B] if pad_b else out
 
     def one_class(boxes, scores):
         rows, _ = nms_rows(boxes, scores, nms_thresh, top_k, conf_thresh)

@@ -286,21 +286,28 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
                 "model cannot be evaluated host-locally)")
         jitted = jax.jit(step)
         priors_dev = jax.device_put(jnp.asarray(priors))
-        cache = {}
+        # one cache slot PER ARGUMENT POSITION, each holding a strong
+        # reference to the source tree it was localized from: a single
+        # id()-keyed slot consulted alternately for params and
+        # batch_stats would flip every call (re-transferring the full
+        # param tree per batch), and a bare id() with no retained
+        # reference can alias a new tree after GC and serve stale
+        # weights across successive validate() calls.
+        cache = [None, None]  # [(source_tree, localized_tree), ...]
 
-        def localize(tree):
+        def localize(tree, slot):
             if not multiproc or tree is None:
                 return tree
-            key = id(tree)
-            if cache.get("key") != key:
-                cache["key"] = key
-                cache["val"] = jax.tree.map(
+            ent = cache[slot]
+            if ent is None or ent[0] is not tree:
+                local = jax.tree.map(
                     lambda x: jax.device_put(np.asarray(jax.device_get(x)))
                     if isinstance(x, jax.Array) else x, tree)
-            return cache["val"]
+                cache[slot] = ent = (tree, local)
+            return ent[1]
 
         def wrapped(params, batch_stats, images):
-            return jitted(localize(params), localize(batch_stats),
+            return jitted(localize(params, 0), localize(batch_stats, 1),
                           priors_dev, images)
 
         wrapped.raw_step = step

@@ -48,6 +48,38 @@ def test_pallas_mask_matches_lax(rng):
         nk.pl.pallas_call = orig
 
 
+def test_padded_small_batch(rng):
+    """Zero-score dummy sets appended on the batch axis (the production
+    workaround for the composed-graph TPU fault, ops/detect.py
+    _PALLAS_MIN_SETS) must not change the kept rows of the real sets."""
+    from odtpu.ops.pallas import nms_kernel as nk
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+    nk.pl.pallas_call = patched
+    try:
+        priors, loc, conf = _rand_scene(rng, B=1, P=80, C=6)
+        from odtpu.ops.boxes import decode
+        decoded = decode(jnp.asarray(loc), jnp.asarray(priors)[None],
+                         (0.1, 0.2))
+        conf_fg = jnp.asarray(conf)[..., 1:]
+        base = nk.per_class_nms_pallas(decoded, conf_fg, 0.01, 0.45, 20)
+        pad_b = 3  # 1 real + 3 dummy images = 20 sets at C-1=5
+        dec_p = jnp.concatenate(
+            [decoded, jnp.zeros((pad_b,) + decoded.shape[1:])], 0)
+        conf_p = jnp.concatenate(
+            [conf_fg, jnp.zeros((pad_b,) + conf_fg.shape[1:])], 0)
+        padded = nk.per_class_nms_pallas(dec_p, conf_p, 0.01, 0.45, 20)
+        np.testing.assert_array_equal(np.asarray(padded[:1]),
+                                      np.asarray(base))
+        # the dummy sets themselves keep nothing
+        assert float(jnp.sum(jnp.abs(padded[1:]))) == 0.0
+    finally:
+        nk.pl.pallas_call = orig
+
+
 def test_pallas_detect_matches_lax(rng):
     from odtpu.ops.pallas import nms_kernel as nk
     import jax.experimental.pallas as pl
