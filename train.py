@@ -113,7 +113,15 @@ def main(argv=None):
     start_step = 0
     if args.resume:
         restored = Checkpointer(args.resume).restore(state)
-        state = restored
+        # restore() returns host numpy trees; re-apply the exact mesh
+        # placement create_train_state chose (the TP layout rule is
+        # shape-based, so one uniform tree_map covers params, momentum
+        # buffers and batch stats). Without this, MESH_MODEL>1 resume
+        # would silently drop the tensor-parallel layout and let GSPMD
+        # re-place arbitrarily. (Reference resume: train.py:67-72.)
+        from odtpu.parallel.mesh import param_shardings
+        sh = param_shardings(restored, mesh)
+        state = jax.tree.map(jax.device_put, restored, sh)
         start_step = int(np.asarray(state.step))
         print("resumed at step", start_step)
 
@@ -233,8 +241,13 @@ def backup_jobs(cfg, out_dir, log_dir, args):
 
     dst = osp.join(cfg.GENERAL.HISTORY_ROOT, args.job_group, args.cfg_name)
     if osp.exists(dst):
-        dst = osp.join(cfg.GENERAL.HISTORY_ROOT, args.job_group,
-                       args.cfg_name + "_n")
+        # first free numbered suffix, so a third run of the same cfg
+        # never merges into an earlier backup (the reference also
+        # increments, utils.py rename-with-_n)
+        n = 1
+        while osp.exists("{}_{}".format(dst, n)):
+            n += 1
+        dst = "{}_{}".format(dst, n)
         print("history dir exists; backing up as", dst)
     os.makedirs(dst, exist_ok=True)
     cfg_file = osp.join(out_dir, "config_used.yml")
