@@ -197,11 +197,26 @@ class EvalVOC(EvalBase):
                  else np.zeros((0, 7), np.float32))
         merged = allgather_host_rows(local)
         self.reset_results()
-        for row in merged:
-            pos, cls = int(row[0]), int(row[1])
-            prev = self.results[cls][pos]
-            self.results[cls][pos] = np.concatenate(
-                [prev, row[None, 2:]], axis=0).astype(np.float32)
+        self._scatter_rows(merged)
+
+    def _scatter_rows(self, merged):
+        """Distribute gathered [N, 7] (pos, cls, x1, y1, x2, y2, score)
+        rows into results[cls][pos], one slice per (cls, pos) group via
+        a single stable lexsort — the naive per-row concatenate re-grows
+        each results array O(N^2) on a real 4952-image x 200-det
+        gather. Within a group the incoming row order is preserved."""
+        if not len(merged):
+            return
+        merged = np.asarray(merged, np.float32)
+        order = np.lexsort((merged[:, 0], merged[:, 1]))
+        merged = merged[order]
+        keys = merged[:, :2].astype(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, np.any(keys[1:] != keys[:-1], axis=1)])
+        bounds = np.r_[starts, len(merged)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            pos, cls = int(keys[s, 0]), int(keys[s, 1])
+            self.results[cls][pos] = np.ascontiguousarray(merged[s:e, 2:])
 
     def evaluate_stats(self, tb_writer=None):
         res, mAP = evaluate_detections(

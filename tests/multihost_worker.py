@@ -116,7 +116,38 @@ def main():
         np.full((1, 1), local_imgs, np.float32))[:, 0].sum()
     assert int(total) == loader2.num_items, (total, loader2.num_items)
 
-    print(f"MULTIHOST_OK rank={args.rank} mAP={mAP:.4f}")
+    # 2-process TRAIN step: each rank contributes its local half of the
+    # global batch; the jitted SPMD update all-reduces gradients across
+    # the process boundary (the DCN path on real multi-slice hardware).
+    # Both ranks must observe the identical global loss every step.
+    # (The reference's only parallelism is its train path, train.py:62;
+    # this is odtpu's distributed analogue, never executed before r3.)
+    from odtpu.parallel import make_train_step
+    tstate, ttx = create_train_state(model, tcfg, mesh=mesh,
+                                     rng=jax.random.PRNGKey(1))
+    step = make_train_step(model, priors, tcfg, ttx, mesh=mesh,
+                           donate=False)
+    trng = np.random.RandomState(100 + args.rank)  # DIFFERENT per rank
+    B_local = 2
+    images = trng.rand(B_local, 64, 64, 3).astype(np.float32)
+    boxes = np.zeros((B_local, tcfg.DATASET.MAX_BOXES, 4), np.float32)
+    labels = np.full((B_local, tcfg.DATASET.MAX_BOXES), -1, np.int64)
+    for i in range(B_local):
+        boxes[i, 0] = (0.2, 0.2, 0.7, 0.7)
+        labels[i, 0] = trng.randint(0, 20)
+    batch = shard_batch((images, boxes, labels), mesh)
+    losses = []
+    for _ in range(3):
+        tstate, metrics = step(tstate, *batch)
+        losses.append(float(np.asarray(metrics["loss"])))
+    assert np.isfinite(losses).all(), losses
+    both = allgather_host_rows(np.asarray([losses], np.float32))
+    assert both.shape == (args.world, 3)
+    np.testing.assert_allclose(both[0], both[1], rtol=0, atol=0), \
+        "ranks disagree on the global loss"
+
+    print(f"MULTIHOST_OK rank={args.rank} mAP={mAP:.4f} "
+          f"train_losses={losses}")
     sys.stdout.flush()
 
 

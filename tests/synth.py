@@ -11,7 +11,7 @@ from odtpu.data.voc import VOC_CLASSES
 
 
 def make_voc(root, year="2007", setname="test", n_images=8, seed=0,
-             min_size=200, max_size=400, num_classes=20):
+             min_size=200, max_size=400, num_classes=20, start_id=0):
     """Create a tiny VOCdevkit tree with random images + box annotations.
     Rectangle colors are a deterministic function of the class so the
     class signal is learnable. Returns list of (img_id, boxes_abs,
@@ -24,7 +24,7 @@ def make_voc(root, year="2007", setname="test", n_images=8, seed=0,
     os.makedirs(osp.join(base, "ImageSets", "Main"), exist_ok=True)
     records = []
     ids = []
-    for i in range(n_images):
+    for i in range(start_id, start_id + n_images):
         img_id = "%06d" % i
         ids.append(img_id)
         h = int(rng.randint(min_size, max_size))

@@ -59,3 +59,46 @@ def test_two_process_sharded_eval(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"MULTIHOST_OK rank={rank} mAP=1.0000" in out, out
+
+
+def test_scatter_rows_grouped_merge():
+    """EvalVOC._scatter_rows (the multihost merge) must equal the naive
+    per-row append: same arrays per (cls, pos), incoming order kept
+    within each group, untouched slots left empty."""
+    from odtpu.eval.evaluator import EvalVOC
+
+    class _FakeLoader:
+        num_items = 5
+        dataset = None
+
+    class _Cfg:
+        pass
+
+    ev = EvalVOC.__new__(EvalVOC)  # skip __init__ (needs cfg/loader)
+    ev.loader = _FakeLoader()
+    ev.num_classes = 4
+    rng = np.random.RandomState(0)
+    n = 400
+    merged = np.concatenate([
+        rng.randint(0, 5, (n, 1)).astype(np.float32),      # pos
+        rng.randint(1, 4, (n, 1)).astype(np.float32),      # cls
+        rng.rand(n, 5).astype(np.float32)], axis=1)        # x1..score
+
+    # oracle: the naive O(N^2) append
+    want = [[np.zeros((0, 5), np.float32) for _ in range(5)]
+            for _ in range(4)]
+    for row in merged:
+        pos, cls = int(row[0]), int(row[1])
+        want[cls][pos] = np.concatenate(
+            [want[cls][pos], row[None, 2:]], 0).astype(np.float32)
+
+    ev.reset_results()
+    ev._scatter_rows(merged)
+    for cls in range(1, 4):
+        for pos in range(5):
+            np.testing.assert_array_equal(ev.results[cls][pos],
+                                          want[cls][pos])
+    # empty gather is a no-op
+    ev.reset_results()
+    ev._scatter_rows(np.zeros((0, 7), np.float32))
+    assert all(r.size == 0 for c in ev.results for r in c)

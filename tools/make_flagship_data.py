@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Generate the full-size synthetic VOC used by the flagship training
+run (no real datasets / zero egress in this environment).
+
+Images are 300-500 px with class-colored solid rectangles on noise
+(tests/synth.py), so the 21-class detection task is genuinely learnable
+and a rising held-out mAP through the real eval solver is meaningful.
+The reference's product run is train.py on VOC 07+12
+(/root/reference/train.py:44, schedule lib/utils/config.py:132-172);
+this tree is its stand-in at the same input scale.
+
+Usage: python tools/make_flagship_data.py [--root data/synthdevkit]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, osp.join(REPO, "tests"))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default=osp.join(REPO, "data", "synthdevkit"))
+    p.add_argument("--train_images", type=int, default=3000)
+    p.add_argument("--test_images", type=int, default=500)
+    args = p.parse_args()
+
+    from synth import make_voc
+
+    t0 = time.time()
+    make_voc(args.root, year="2007", setname="synthtrain",
+             n_images=args.train_images, seed=1,
+             min_size=300, max_size=500)
+    # disjoint id range so train/test never alias an image file
+    make_voc(args.root, year="2007", setname="synthtest",
+             n_images=args.test_images, seed=2, start_id=500000,
+             min_size=300, max_size=500)
+    print("wrote {} train + {} test images under {} in {:.1f}s".format(
+        args.train_images, args.test_images, args.root, time.time() - t0))
+
+
+if __name__ == "__main__":
+    main()
