@@ -70,7 +70,22 @@ def main(argv=None):
                                          args.job_group, args.cfg_name,
                                          "ckpt")
         if osp.isdir(ckpt_dir):
-            state = Checkpointer(ckpt_dir).restore(state)
+            # partial restore: eval needs params/batch_stats/step only.
+            # Restoring the full TrainState would tie eval to the saving
+            # run's optimizer chain (e.g. a grad-clip stage changes the
+            # opt_state pytree and the restore template would mismatch).
+            from odtpu.parallel.mesh import shard_params
+            template = {"step": np.zeros((), np.int32),
+                        "params": jax.device_get(state.params)}
+            if state.batch_stats:
+                template["batch_stats"] = jax.device_get(state.batch_stats)
+            restored = Checkpointer(ckpt_dir).restore(template, partial=True)
+            state = state.replace(
+                step=restored["step"],
+                params=shard_params(restored["params"], mesh),
+                batch_stats=(shard_params(restored["batch_stats"], mesh)
+                             if restored.get("batch_stats") else
+                             state.batch_stats))
             print("restored step", int(np.asarray(state.step)))
         else:
             print("WARNING: no checkpoint at {}; evaluating random init"

@@ -48,7 +48,12 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 
-    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+    def restore(self, template: Any, step: Optional[int] = None,
+                partial: bool = False) -> Any:
+        """Restore into `template`'s structure. With partial=True the
+        template may omit whole subtrees (e.g. opt_state for eval-time
+        loads) — omitted entries are skipped on disk, so a checkpoint
+        written with a different optimizer chain still restores."""
         import orbax.checkpoint as ocp
         step = self.latest_step() if step is None else int(step)
         if step is None:
@@ -57,6 +62,10 @@ class Checkpointer:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, template)
+        if partial:
+            return self.mgr.restore(
+                step, args=ocp.args.PyTreeRestore(item=abstract,
+                                                  partial_restore=True))
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
@@ -95,13 +104,20 @@ def restore_eval_variables(model, cfg, path=""):
         raise FileNotFoundError(
             "checkpoint path {!r} does not exist".format(path))
     elif path and osp.isdir(path):
-        from ..parallel import create_train_state
-        state, _ = create_train_state(model, cfg)
-        state = Checkpointer(path).restore(state)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        print("restored checkpoint step", int(np.asarray(state.step)))
+        # partial restore: eval needs params/batch_stats/step only —
+        # omitting opt_state also makes eval independent of the saving
+        # run's optimizer chain (a checkpoint written with grad-clip on
+        # previously failed to restore against a clipless template)
+        template = {"step": np.zeros((), np.int32),
+                    "params": variables["params"]}
+        if "batch_stats" in variables:
+            template["batch_stats"] = variables["batch_stats"]
+        restored = Checkpointer(path).restore(template, partial=True)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        print("restored checkpoint step",
+              int(np.asarray(restored["step"])))
     else:
         print("WARNING: no checkpoint at {!r}; using random init"
               .format(path))

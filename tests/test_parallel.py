@@ -191,3 +191,30 @@ def test_resume_preserves_mesh_placement(rng, tmp_path, monkeypatch):
     _, m2 = step(replaced, *batch)
     np.testing.assert_allclose(float(control["loss"]), float(m2["loss"]),
                                rtol=1e-6)
+
+
+def test_partial_restore_ignores_optimizer_chain(rng, tmp_path):
+    """Eval-time loads restore params/step only (partial=True): a
+    checkpoint written with a DIFFERENT optax chain (grad clip adds an
+    opt_state element) must still restore against a clipless template.
+    This is eval.py's restore path for the flagship run's checkpoints."""
+    from odtpu.utils.checkpoint import Checkpointer
+    cfg = tiny_cfg()
+    cfg.TRAIN.OPTIMIZER.CLIP_GRAD_NORM = 10.0  # 3-element optax chain
+    model, priors, _ = model_factory("train", cfg)
+    mesh = make_mesh(cfg)
+    state, tx = create_train_state(model, cfg,
+                                   rng=jax.random.PRNGKey(7), mesh=mesh)
+    step = make_train_step(model, priors, cfg, tx, mesh=mesh, donate=False)
+    batch = shard_batch(_batch(rng, 8, 64), mesh)
+    state, _ = step(state, *batch)
+    Checkpointer(str(tmp_path / "ck")).save(1, state)
+
+    template = {"step": np.zeros((), np.int32),
+                "params": jax.device_get(state.params)}
+    restored = Checkpointer(str(tmp_path / "ck")).restore(template,
+                                                          partial=True)
+    assert int(np.asarray(restored["step"])) == int(np.asarray(state.step))
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
