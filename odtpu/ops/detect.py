@@ -42,38 +42,55 @@ def _resolve_impl(impl: str) -> str:
     return impl
 
 
-# Measured environment-level fault (2026-08-17, axon tunnel): the
-# COMPOSED eval graph (decode + top-k + Pallas NMS inside one jit)
-# crashes the remote TPU worker when the kernel grid is tiny — B=1
-# (20 candidate sets) faults reproducibly, B=4 (80 sets) and up run
-# clean — and it does so for EVERY kernel version tried, including the
-# exact code hardware-verified bit-parity at single-set grids when
-# called standalone (commit df1589f; re-verified standalone round 2
-# at S ∈ {1,8,20,80,640}). The fault is therefore in the platform's
-# handling of the composed program, not in the kernel; minimal repro:
-# tools/repro_composed_fault.py. Workaround (round 3): rather than
-# detouring small workloads to the lax path, the batch axis is padded
-# with dummy zero-score images up to the lowest composed-set count
-# verified clean on hardware (80 = the measured B=4 boundary; 64-79
-# was never hardware-tested), so B=1 serving runs the flagship kernel.
-# Zero-score sets are dead on arrival inside the kernel (alive0 needs
-# score > score_thresh with both >= 0) so padding cannot change the
-# kept rows; bit-parity of padded-vs-lax at B=1 is hardware-verified
-# (tests/test_pallas_nms.py::test_padded_small_batch covers CPU
-# interpret mode).
+# Small-workload boundary for the Pallas NMS kernel, two concerns:
+#
+# 1. Latency (why impl='auto' routes sub-boundary sets to lax): B=1
+#    forward+detect measured on the v5e is 2.7 ms through the lax NMS
+#    vs 4.2 ms through the padded Pallas kernel (chained RTT-free,
+#    round 3) — at tiny grids the kernel's fixed costs lose to lax,
+#    while from B=4 up the kernel wins (e.g. B=32: full batched eval
+#    detect 10.2 ms vs a lax [S,200,200] HBM IoU round-trip). Routing
+#    is a measured-latency choice, re-derivable with
+#    tools/profile_eval.py --batch 1 --impl {lax,pallas}.
+#
+# 2. Platform fault (why explicit impl='pallas' pads instead of
+#    running the tiny grid directly): the COMPOSED eval graph (decode
+#    + top-k + Pallas NMS inside one jit) crashes the remote TPU
+#    worker at tiny kernel grids — B=1 (20 candidate sets) faults
+#    reproducibly, 80 sets and up run clean — for every kernel
+#    version tried, including code hardware-verified bit-parity at
+#    single-set grids standalone (commit df1589f; re-verified round 3
+#    at S ∈ {1,8,20,80,640,1280}). The fault is in the platform's
+#    handling of the composed program, not the kernel; minimal repro:
+#    tools/repro_composed_fault.py. The batch axis is padded with
+#    dummy zero-score images up to the lowest composed-set count
+#    verified clean on hardware (80). Zero-score sets are dead on
+#    arrival inside the kernel (alive0 needs score > score_thresh
+#    with both >= 0) so padding cannot change the kept rows;
+#    bit-parity of padded-vs-lax at B=1 is hardware-verified
+#    (tests/test_pallas_nms.py::test_padded_small_batch covers CPU
+#    interpret mode).
 _PALLAS_MIN_SETS = 80
 
 
 def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
-                   nms_thresh: float, top_k: int, impl: str = "auto"):
+                   nms_thresh: float, top_k: int, impl: str = "auto",
+                   compact_rows: bool = True):
     """[B,P,4] boxes + [B,P,C-1] fg scores -> [B, C-1, top_k, 5] rows
-    (score, x1, y1, x2, y2), zero padded, descending score."""
-    impl = _resolve_impl(impl)
-    if impl == "pallas":
+    (score, x1, y1, x2, y2), zero padded, descending score.
+
+    compact_rows=False (pallas path only) leaves survivors at their
+    candidate positions — sound only for consumers that re-rank and
+    mask on the score column (see per_class_nms_pallas)."""
+    resolved = _resolve_impl(impl)
+    B, Cf = decoded.shape[0], conf_fg.shape[-1]
+    small = B * Cf < _PALLAS_MIN_SETS
+    if resolved == "pallas" and small and impl == "auto":
+        resolved = "lax"  # measured-latency routing (see boundary note)
+    if resolved == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
-        B, Cf = decoded.shape[0], conf_fg.shape[-1]
         pad_b = 0
-        if B * Cf < _PALLAS_MIN_SETS and jax.default_backend() == "tpu":
+        if small and jax.default_backend() == "tpu":
             pad_b = -(-_PALLAS_MIN_SETS // Cf) - B  # ceil-div
             decoded = jnp.concatenate(
                 [decoded, jnp.zeros((pad_b,) + decoded.shape[1:],
@@ -82,7 +99,8 @@ def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
                 [conf_fg, jnp.zeros((pad_b,) + conf_fg.shape[1:],
                                     conf_fg.dtype)], axis=0)
         out = per_class_nms_pallas(decoded, conf_fg, conf_thresh,
-                                   nms_thresh, top_k)
+                                   nms_thresh, top_k,
+                                   compact_rows=compact_rows)
         return out[:B] if pad_b else out
 
     def one_class(boxes, scores):
@@ -125,16 +143,17 @@ def detect_out(loc: Array, conf: Array, priors: Array, variances,
     variances = tuple(float(v) for v in variances)
     return _detect_out(loc, conf, priors, variances, float(conf_thresh),
                        float(nms_thresh), int(top_k), bool(cross_class_topk),
-                       impl)
+                       impl, True)
 
 
 @partial(jax.jit, static_argnames=("variances", "conf_thresh", "nms_thresh",
-                                   "top_k", "cross_class_topk", "impl"))
+                                   "top_k", "cross_class_topk", "impl",
+                                   "row_compact"))
 def _detect_out(loc, conf, priors, variances, conf_thresh, nms_thresh,
-                top_k, cross_class_topk, impl):
+                top_k, cross_class_topk, impl, row_compact):
     decoded = decode(loc, priors[None], variances)  # [B, P, 4]
     out_fg = _per_class_nms(decoded, conf[..., 1:], conf_thresh, nms_thresh,
-                            top_k, impl)
+                            top_k, impl, compact_rows=row_compact)
     return _finalize(out_fg, top_k, cross_class_topk)
 
 
@@ -163,8 +182,15 @@ def detect_out_compact(loc: Array, conf: Array, priors: Array, variances,
     final filter (detection.py:60-63; a no-op there due to a fill-on-copy
     bug) and matches the original SSD eval protocol (200 dets/image).
     """
-    dense = detect_out(loc, conf, priors, variances, conf_thresh,
-                       nms_thresh, top_k, cross_class_topk=False, impl=impl)
+    # row_compact=False: the per-class survivors-first compaction is
+    # redundant here — _compact re-ranks cross-class by score and masks
+    # dead rows, and within-class relative order (what breaks score
+    # ties) is identical either way, so the output is bit-identical
+    # while skipping a [B*(C-1), K] top_k + 5-wide row gather.
+    dense = _detect_out(loc, conf, priors,
+                        tuple(float(v) for v in variances),
+                        float(conf_thresh), float(nms_thresh),
+                        int(top_k), False, impl, False)
     return _compact(dense, int(top_k))
 
 
@@ -186,7 +212,8 @@ def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     keep = arm_conf[..., 0] <= neg_anchor_thresh  # [B, P]
     conf = odm_conf * keep[..., None]
     out_fg = _per_class_nms(decoded, conf[..., 1:], float(conf_thresh),
-                            float(nms_thresh), int(top_k), impl)
+                            float(nms_thresh), int(top_k), impl,
+                            compact_rows=not compact)  # see detect_out_compact
     dense = _finalize(out_fg, int(top_k), False)
     return _compact(dense, int(top_k)) if compact else dense
 

@@ -37,11 +37,17 @@ def _round_up(x: int, m: int) -> int:
 # multiples of 8). The grid executes sequentially on the core and the
 # K-step greedy fori_loop dominates each step, so TOTAL time scales
 # with (num_sets / _ROWS) * K sequential iterations: wider rows divide
-# the sequential work. R=16 at K<=256 is the hardware-verified sweet
-# spot: the bf16 kill matrix [16,256,256] is 2 MB, but Mosaic also
-# materializes the f32 broadcast intermediates (inter/union), which is
-# what pushed R=32 over VMEM despite the division-free rewrite below.
-_ROWS = 16
+# the sequential work. R=16 was the round-2 ceiling only because the
+# default 16 MB *scoped* VMEM stack limit rejected the R=32 program by
+# 2.79 MB (measured); raising vmem_limit_bytes (below) admits R=32 —
+# the bf16 kill matrix [32,256,256] is 4 MB and the f32 broadcast
+# intermediates Mosaic materializes (inter/union) put the true stack
+# peak at ~19 MB, comfortably inside the 64 MB granted.
+_ROWS = 32
+
+# scoped-VMEM stack budget for the kernel (v5e has 128 MB VMEM; the
+# 16 MB default exists to catch runaway kernels, not as hardware).
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 # candidates whose kill rows are fetched per fori step (one batched MXU
 # contraction) and then applied as dependent VPU sub-steps. Tail-chunk
@@ -149,34 +155,56 @@ def nms_mask_pallas(boxes: jax.Array, scores: jax.Array,
         grid=(Np // _ROWS,),
         in_specs=[spec] * 5,
         out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes, scores)
     return alive[:N, :K] > 0.5
 
 
 def per_class_nms_pallas(decoded: jax.Array, conf_fg: jax.Array,
                          conf_thresh: float, nms_thresh: float,
-                         top_k: int):
+                         top_k: int, compact_rows: bool = True):
     """Drop-in for odtpu.ops.detect._per_class_nms with impl='pallas'.
 
-    decoded [B,P,4], conf_fg [B,P,C-1] -> [B, C-1, top_k, 5]."""
+    decoded [B,P,4], conf_fg [B,P,C-1] -> [B, C-1, top_k, 5].
+
+    compact_rows=False skips the survivors-first in-class compaction:
+    rows stay in candidate (score-sorted pre-NMS) order with dead rows'
+    scores zeroed but their boxes left as-is. Only valid for consumers
+    that re-rank and mask by the score column (detect_out_compact's
+    cross-class top-k does both) — the dense detect_out contract
+    requires the compaction."""
     B, P, _ = decoded.shape
     Cf = conf_fg.shape[-1]
     k = min(top_k, P)
 
     scores_bc = jnp.moveaxis(conf_fg, -1, 1).reshape(B * Cf, P)
     top_scores, order = top_k_exact(scores_bc, k)  # [N, k]
-    boxes_bc = jnp.broadcast_to(decoded[:, None], (B, Cf, P, 4))
-    boxes_bc = boxes_bc.reshape(B * Cf, P, 4)
-    top_boxes = jnp.take_along_axis(boxes_bc, order[..., None], axis=1)
+    # gather candidate boxes per IMAGE (operand [B, P, 4]) rather than
+    # per (image, class) set from a [B*Cf, P, 4] broadcast — same
+    # elements fetched, ~Cf× smaller gather operand (measured 3.9 ms →
+    # see BENCH_NOTES round-3 detect-tail table)
+    top_boxes = jnp.take_along_axis(
+        decoded, order.reshape(B, Cf * k)[..., None], axis=1)
+    top_boxes = top_boxes.reshape(B * Cf, k, 4)
 
     alive = nms_mask_pallas(top_boxes, top_scores, nms_thresh, conf_thresh)
 
-    perm = jnp.argsort(~alive, axis=1, stable=True)
-    a = jnp.take_along_axis(alive, perm, axis=1).astype(top_scores.dtype)
-    row_scores = jnp.take_along_axis(top_scores, perm, axis=1) * a
-    row_boxes = jnp.take_along_axis(top_boxes, perm[..., None], axis=1) \
-        * a[..., None]
-    rows = jnp.concatenate([row_scores[..., None], row_boxes], axis=-1)
+    # survivors-first compaction. Candidates are score-sorted and
+    # softmax scores are non-negative, so top_k over alive-masked
+    # scores IS the stable partition the contract wants: survivors in
+    # their original descending order, then zeroed rows (value ties
+    # resolve by smaller index, preserving original order for equal
+    # scores and for the dead zeros) — one top_k + one 5-wide row
+    # gather instead of a stable argsort + three separate gathers.
+    masked = top_scores * alive
+    if compact_rows:
+        row_scores, perm = jax.lax.top_k(masked, k)
+        rows5 = jnp.concatenate([masked[..., None], top_boxes], axis=-1)
+        rows = jnp.take_along_axis(rows5, perm[..., None], axis=1)
+        rows *= (row_scores > 0.0)[..., None]  # zero boxes of dead rows
+    else:
+        rows = jnp.concatenate([masked[..., None], top_boxes], axis=-1)
     if k < top_k:
         rows = jnp.pad(rows, ((0, 0), (0, top_k - k), (0, 0)))
     return rows.reshape(B, Cf, top_k, 5)

@@ -100,3 +100,32 @@ def test_pallas_detect_matches_lax(rng):
                                    rtol=1e-5, atol=1e-6)
     finally:
         nk.pl.pallas_call = orig
+
+
+def test_compact_transport_skips_row_compaction(rng):
+    """detect_out_compact's pallas route runs with compact_rows=False
+    (the cross-class top-k re-ranks and masks by score, making the
+    per-class survivors-first compaction redundant) — its output must
+    be bit-identical to the lax route, score ties included."""
+    from odtpu.ops.pallas import nms_kernel as nk
+    import jax.experimental.pallas as pl
+    from odtpu.ops.detect import detect_out_compact
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+    nk.pl.pallas_call = patched
+    try:
+        priors, loc, conf = _rand_scene(rng, B=3, P=120, C=6)
+        # force score ties within and across classes
+        conf = (np.asarray(conf) * 50).round() / 50
+        a = detect_out_compact(jnp.asarray(loc), jnp.asarray(conf),
+                               jnp.asarray(priors), (0.1, 0.2),
+                               top_k=25, impl="pallas")
+        b = detect_out_compact(jnp.asarray(loc), jnp.asarray(conf),
+                               jnp.asarray(priors), (0.1, 0.2),
+                               top_k=25, impl="lax")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        nk.pl.pallas_call = orig

@@ -31,6 +31,12 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--impl", default="auto", choices=["auto", "pallas",
                                                       "lax"])
+    p.add_argument("--barrier", action="store_true",
+                   help="optimization_barrier between forward and "
+                        "detect in the chained fused measurement")
+    p.add_argument("--stages_chained", action="store_true",
+                   help="also time each stage chained x20 inside one "
+                        "jit (RTT-free, immune to tunnel phases)")
     args = p.parse_args()
 
     import jax
@@ -114,26 +120,117 @@ def main():
     # the tunnel round-trip amortizes to nothing
     N_CHAIN = 20
 
-    @jax.jit
-    def chained(v, x0, p):
-        def body(i, carry):
-            xc, acc = carry
-            out = detect_out(*model.apply(v, xc, phase="eval",
-                                          train=False), p, variances,
-                             impl=args.impl)
-            s = jnp.sum(out[:, 1:, 0, 0])
-            return xc + s * 1e-30, acc + s
-        return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+    def chain_time(name, body_fn, *xs):
+        """Time body_fn chained N_CHAIN times inside one jit: immune to
+        tunnel phase noise (one dispatch per N_CHAIN iterations). The
+        scalar result feeds back into the first operand so XLA cannot
+        hoist or CSE the repeated body."""
+        @jax.jit
+        def chained(*xs):
+            def body(i, carry):
+                x0, acc = carry
+                s = body_fn(x0, *xs[1:])
+                return x0 + s * 1e-30, acc + s
+            return jax.lax.fori_loop(0, N_CHAIN, body, (xs[0], 0.0))[1]
+        float(chained(*xs))  # compile
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(chained(*xs))
+        ms = (time.time() - t0) / reps / N_CHAIN * 1000
+        print("{:34s} {:8.2f} ms/iter on-chip {:7.0f} img/s".format(
+            name + " chained", ms, B / ms * 1000))
+        return ms
 
-    float(chained(variables, x, priors_d))  # compile
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        float(chained(variables, x, priors_d))
-    per_iter = (time.time() - t0) / reps / N_CHAIN * 1000
-    print("{:34s} {:8.2f} ms/iter on-chip {:7.0f} img/s".format(
-        "forward+detect chained x{}".format(N_CHAIN), per_iter,
-        B / per_iter * 1000))
+    if args.stages_chained:
+        from odtpu.ops.topk import top_k_exact
+        Cf = conf.shape[-1] - 1
+        chain_time("forward",
+                   lambda xc, v: jnp.sum(model.apply(
+                       v, xc, phase="eval", train=False)[0][:, 0, 0]),
+                   x, variables)
+        chain_time("decode",
+                   lambda l, p: jnp.sum(
+                       decode(l, p[None], variances)[:, 0, 0]),
+                   loc, priors_d)
+        chain_time("top_k_exact {}x{}->200".format(B * Cf, conf.shape[1]),
+                   lambda c: jnp.sum(top_k_exact(
+                       jnp.moveaxis(c[..., 1:], -1, 1)
+                       .reshape(-1, c.shape[1]), 200)[0][:, 0]),
+                   conf)
+        # NMS sub-stages: gather of top-200 boxes per (img, class) set,
+        # the Pallas alive-mask alone, and the survivors-first
+        # compaction (argsort + 3 gathers)
+        Cfg = conf.shape[-1] - 1
+        sb = jnp.moveaxis(conf[..., 1:], -1, 1).reshape(B * Cfg, -1)
+        tsc, order = top_k_exact(sb, 200)
+        bbc = jnp.broadcast_to(decoded[:, None],
+                               (B, Cfg) + decoded.shape[1:])
+        bbc = bbc.reshape(B * Cfg, -1, 4)
+        tbx = jnp.take_along_axis(bbc, order[..., None], axis=1)
+        chain_time("  boxes gather [N,P,4]->[N,200,4]",
+                   lambda o, bb: jnp.sum(jnp.take_along_axis(
+                       bb, o.astype(jnp.int32)[..., None],
+                       axis=1)[:, 0, 0]),
+                   order.astype(jnp.float32), bbc)
+        if args.impl != "lax":
+            from odtpu.ops.pallas.nms_kernel import nms_mask_pallas
+            chain_time("  pallas alive mask",
+                       lambda s, bx: jnp.sum(nms_mask_pallas(
+                           bx, s, 0.45, 0.01).astype(jnp.float32)),
+                       tsc, tbx)
+        def _compaction(s, alive_f, bx):
+            alive = alive_f > 0.5
+            perm = jnp.argsort(~alive, axis=1, stable=True)
+            a = jnp.take_along_axis(alive, perm, axis=1).astype(s.dtype)
+            rs = jnp.take_along_axis(s, perm, axis=1) * a
+            rb = jnp.take_along_axis(bx, perm[..., None], axis=1) \
+                * a[..., None]
+            return jnp.sum(rs) + jnp.sum(rb[:, 0, 0])
+        alive_f = (tsc > 0.01).astype(jnp.float32)
+        chain_time("  compaction (argsort+gathers)",
+                   _compaction, tsc, alive_f, tbx)
+        chain_time("per-class NMS (incl top_k)",
+                   lambda d, c: jnp.sum(_per_class_nms(
+                       d, c[..., 1:], 0.01, 0.45, 200,
+                       args.impl)[:, :, 0, 0]),
+                   decoded, conf)
+        chain_time("detect_out full",
+                   lambda l, c, p: jnp.sum(detect_out(
+                       l, c, p, variances,
+                       impl=args.impl)[:, 1:, 0, 0]),
+                   loc, conf, priors_d)
+
+    def make_chained(barrier):
+        @jax.jit
+        def chained(v, x0, p):
+            def body(i, carry):
+                xc, acc = carry
+                lc, cf = model.apply(v, xc, phase="eval", train=False)
+                if barrier:
+                    # materialization boundary between forward and
+                    # detect: isolates whether cross-fusion costs more
+                    # than the sum of the separately-compiled stages
+                    lc, cf = jax.lax.optimization_barrier((lc, cf))
+                out = detect_out(lc, cf, p, variances, impl=args.impl)
+                s = jnp.sum(out[:, 1:, 0, 0])
+                return xc + s * 1e-30, acc + s
+            return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+        return chained
+
+    variants = [(False, "")] + ([(True, " +barrier")] if args.barrier
+                                else [])
+    for barrier, tag in variants:
+        chained = make_chained(barrier)
+        float(chained(variables, x, priors_d))  # compile
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            float(chained(variables, x, priors_d))
+        per_iter = (time.time() - t0) / reps / N_CHAIN * 1000
+        print("{:34s} {:8.2f} ms/iter on-chip {:7.0f} img/s".format(
+            "forward+detect chained x{}{}".format(N_CHAIN, tag),
+            per_iter, B / per_iter * 1000))
 
 
 if __name__ == "__main__":
