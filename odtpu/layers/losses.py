@@ -30,6 +30,11 @@ from ..ops.matching import match_batch, match_second_best
 
 Array = jax.Array
 
+# max |loc_size * variance| admitted into exp() when a decode consumes
+# raw network outputs (RefineDet's two-step paths): log(1000/16), the
+# standard Detectron BBOX_XFORM_CLIP. See refinedet_loss for why.
+_XFORM_CLIP = 4.135166556742356
+
 
 class MultiBoxLossOutput(NamedTuple):
     loss_loc_sum: Array   # scalar, unnormalized smooth-L1 over positives
@@ -153,7 +158,18 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
                             variances, overlap_thresh, neg_pos_ratio)
 
     # ---- refined anchors (per image) --------------------------------
-    refined = center_size(decode(arm_loc, priors[None], variances))
+    # Clamp the size term before exp (Detectron's BBOX_XFORM_CLIP =
+    # log(1000/16)): RefineDet is the one family whose LOSS decodes raw
+    # network outputs, and a from-scratch net at raw-pixel input scale
+    # emits |arm_loc| ~ 1e3 at init (measured 844), so exp(loc*v)
+    # overflows to inf anchors whose -inf encode targets can enter the
+    # ODM loss through a forced match and NaN the run from step 1 (the
+    # unclamped round-3 run, BENCH_NOTES). Inactive for any plausibly
+    # trained network: allows anchors 62x their prior at v_size=0.2.
+    clip = _XFORM_CLIP / float(variances[1])
+    arm_loc_dec = jnp.concatenate(
+        [arm_loc[..., :2], jnp.clip(arm_loc[..., 2:], -clip, clip)], -1)
+    refined = center_size(decode(arm_loc_dec, priors[None], variances))
     refined = jax.lax.stop_gradient(refined)  # [B, P, 4]
 
     def match_one(boxes, labels, pri):

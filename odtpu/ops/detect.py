@@ -206,6 +206,13 @@ def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     paper's test-time filter) are removed from scoring.
     """
     variances = tuple(float(v) for v in variances)
+    # same BBOX_XFORM_CLIP clamp as refinedet_loss (losses._XFORM_CLIP):
+    # detect_refine can see an untrained/early-training net whose raw
+    # arm_loc overflows exp(); inactive for trained networks.
+    from ..layers.losses import _XFORM_CLIP
+    clip = _XFORM_CLIP / float(variances[1])
+    arm_loc = jnp.concatenate(
+        [arm_loc[..., :2], jnp.clip(arm_loc[..., 2:], -clip, clip)], -1)
     refined = center_size(decode(arm_loc, priors[None], variances))
     refined = jax.lax.stop_gradient(refined)
     decoded = decode(odm_loc, refined, variances)  # [B, P, 4]

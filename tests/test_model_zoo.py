@@ -189,3 +189,44 @@ def test_refinedet_train_step(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_refinedet_loss_stable_at_raw_init_scale(rng):
+    """From-scratch nets at raw-pixel input scale emit |arm_loc| ~ 1e3
+    at init (measured 844 on the real model). Unclamped, exp(loc*v)
+    makes inf-area refined anchors whose -inf encode targets reach the
+    ODM loss through a forced match: the round-3 unclamped training run
+    NaN'd from step 1 (loss finite, GRADIENT inf -> clip_by_global_norm
+    scales by clip/inf -> NaN weights). The BBOX_XFORM_CLIP clamp in
+    refinedet_loss must keep loss AND grads finite at this scale."""
+    from odtpu.layers.losses import refinedet_loss
+    P, C, G, B = 128, 21, 5, 2
+    priors = np.stack([
+        rng.uniform(0.2, 0.8, P), rng.uniform(0.2, 0.8, P),
+        rng.uniform(0.1, 0.3, P), rng.uniform(0.1, 0.3, P)], 1
+    ).astype(np.float32)
+    arm_loc = (rng.randn(B, P, 4) * 400).astype(np.float32)  # raw scale
+    arm_conf = (rng.randn(B, P, 2) * 100).astype(np.float32)
+    odm_loc = (rng.randn(B, P, 4) * 400).astype(np.float32)
+    odm_conf = (rng.randn(B, P, C) * 100).astype(np.float32)
+    boxes = np.zeros((B, G, 4), np.float32)
+    labels = np.full((B, G), -1, np.int64)
+    for i in range(B):
+        xy = rng.uniform(0, 0.5, (2, 2))
+        wh = rng.uniform(0.2, 0.4, (2, 2))
+        boxes[i, :2] = np.concatenate([xy, xy + wh], 1)
+        labels[i, :2] = rng.randint(0, 20, 2)
+
+    def total(al, ac, ol, oc):
+        r = refinedet_loss(al, ac, ol, oc, jnp.asarray(priors),
+                           jnp.asarray(boxes), jnp.asarray(labels),
+                           (0.1, 0.2))
+        return (r.arm.loss_loc_sum + r.arm.loss_conf_sum
+                + r.odm.loss_loc_sum + r.odm.loss_conf_sum)
+    args = (jnp.asarray(arm_loc), jnp.asarray(arm_conf),
+            jnp.asarray(odm_loc), jnp.asarray(odm_conf))
+    loss = total(*args)
+    assert np.isfinite(float(loss)), float(loss)
+    grads = jax.grad(total, argnums=(0, 1, 2, 3))(*args)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
