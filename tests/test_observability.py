@@ -101,6 +101,10 @@ def test_backup_jobs(tmp_path):
     dst = tmp_path / "history" / "base" / "smoke"
     assert (dst / "smoke.yml").is_file()
     assert (dst / "events.out.tfevents.123").is_file()
-    # second backup renames with _n (reference behavior, train.py:200-203)
+    # collisions get the first free numbered suffix (the reference's
+    # fixed "_n" rename, train.py:200-203, silently MERGES a third run
+    # into the second's backup; numbering keeps every run separate)
     backup_jobs(cfg, str(out_dir), str(log_dir), args)
-    assert (tmp_path / "history" / "base" / "smoke_n" / "smoke.yml").is_file()
+    assert (tmp_path / "history" / "base" / "smoke_1" / "smoke.yml").is_file()
+    backup_jobs(cfg, str(out_dir), str(log_dir), args)
+    assert (tmp_path / "history" / "base" / "smoke_2" / "smoke.yml").is_file()
