@@ -117,8 +117,7 @@ def random_expand(img, boxes, rng, mean, max_ratio=4.0):
     # uint8 canvas (device-photometric mode): round the fill rather than
     # truncate, so fractional PIXEL_MEANS (e.g. COCO-style 103.94) still
     # cancel against the on-device mean subtract to within 0.5 LSB
-    canvas[:, :, :] = (np.rint(mean).astype(img.dtype)
-                       if np.issubdtype(img.dtype, np.integer) else mean)
+    canvas[:, :, :] = _expand_fill(mean, img.dtype)
     canvas[top:top + h, left:left + w] = img
     boxes = boxes.copy()
     boxes[:, 0::2] += left
@@ -161,6 +160,105 @@ def random_sample_crop(img, boxes, labels, rng, trials=50):
         new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
         return cropped, new_boxes, labels[inside]
     return img, boxes, labels
+
+
+def _expand_fill(mean, dtype):
+    """Expand-canvas fill value for a given image dtype (uint8 canvases
+    round rather than truncate so fractional PIXEL_MEANS still cancel
+    against the on-device mean subtract to within 0.5 LSB)."""
+    return (np.rint(mean).astype(dtype)
+            if np.issubdtype(dtype, np.integer) else mean)
+
+
+def _compose_crop(img, rect, top, left, fill):
+    """Pixels of the *virtual* expanded canvas (img pasted at
+    (top, left) on an infinite mean-colored background) inside
+    rect=(x1, y1, x2, y2) — without materializing the canvas. Only the
+    strips of the window not covered by the pasted image are filled."""
+    x1, y1, x2, y2 = rect
+    h, w, c = img.shape
+    out_h, out_w = y2 - y1, x2 - x1
+    ix1, iy1 = max(x1, left), max(y1, top)
+    ix2, iy2 = min(x2, left + w), min(y2, top + h)
+    if ix1 >= ix2 or iy1 >= iy2:  # window misses the image entirely
+        out = np.empty((out_h, out_w, c), img.dtype)
+        out[:] = fill
+        return out
+    if (ix1, iy1, ix2, iy2) == (x1, y1, x2, y2):  # fully inside: a view
+        return img[iy1 - top:iy2 - top, ix1 - left:ix2 - left]
+    out = np.empty((out_h, out_w, c), img.dtype)
+    oy1, oy2, ox1, ox2 = iy1 - y1, iy2 - y1, ix1 - x1, ix2 - x1
+    if oy1 > 0:
+        out[:oy1] = fill
+    if oy2 < out_h:
+        out[oy2:] = fill
+    if ox1 > 0:
+        out[oy1:oy2, :ox1] = fill
+    if ox2 < out_w:
+        out[oy1:oy2, ox2:] = fill
+    out[oy1:oy2, ox1:ox2] = img[iy1 - top:iy2 - top, ix1 - left:ix2 - left]
+    return out
+
+
+def random_expand_crop(img, boxes, labels, rng, mean, max_ratio=4.0,
+                       trials=50):
+    """Fused Expand + RandomSampleCrop drawing the IDENTICAL RNG
+    sequence as random_expand followed by random_sample_crop, but the
+    expanded canvas stays virtual: the crop trial loop only needs box
+    geometry, so pixels are touched once, when the accepted window is
+    composed (mean-filling just its uncovered strips). Bit-identical
+    outputs to the two-step path (tests/test_augment_fused.py); removes
+    the dominant host cost of the pipeline (the up-to-16x-area canvas
+    memset + paste of the eager expand)."""
+    h, w, _ = img.shape
+    if rng.integers(2):
+        top = left = 0
+        eh, ew = h, w
+        expanded = False
+    else:
+        ratio = rng.uniform(1.0, max_ratio)
+        left = int(rng.uniform(0.0, w * ratio - w))
+        top = int(rng.uniform(0.0, h * ratio - h))
+        eh, ew = int(h * ratio), int(w * ratio)
+        expanded = True
+        boxes = boxes.copy()
+        boxes[:, 0::2] += left
+        boxes[:, 1::2] += top
+    fill = _expand_fill(mean, img.dtype)
+
+    def whole():  # the un-cropped result (expanded or original)
+        return _compose_crop(img, (0, 0, ew, eh), top, left, fill) \
+            if expanded else img
+
+    mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
+    if mode is None or boxes is None or len(boxes) == 0:
+        return whole(), boxes, labels
+    min_iou = -np.inf if mode[0] is None else mode[0]
+    max_iou = np.inf if mode[1] is None else mode[1]
+    for _ in range(trials):
+        cw = rng.uniform(0.3 * ew, ew)
+        ch = rng.uniform(0.3 * eh, eh)
+        if ch / cw < 0.5 or ch / cw > 2:
+            continue
+        cl = rng.uniform(0, ew - cw)
+        ct = rng.uniform(0, eh - ch)
+        rect = np.array([int(cl), int(ct), int(cl + cw), int(ct + ch)])
+        overlap = _iou_one_to_many(boxes, rect)
+        # reference quirk: AND, not OR (augmentations.py:254)
+        if overlap.min() < min_iou and max_iou < overlap.max():
+            continue
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        inside = ((rect[0] < centers[:, 0]) & (rect[1] < centers[:, 1]) &
+                  (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
+        if not inside.any():
+            continue
+        cropped = _compose_crop(img, tuple(rect), top, left, fill) \
+            if expanded else img[rect[1]:rect[3], rect[0]:rect[2], :]
+        new_boxes = boxes[inside].copy()
+        new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
+        new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
+        return cropped, new_boxes, labels[inside]
+    return whole(), boxes, labels
 
 
 def random_mirror(img, boxes, rng):
@@ -281,12 +379,14 @@ class SSDAugmentation:
             img = photometric_distort(img, rng)
             if dump:
                 self._dump("1_photometric", img, boxes, labels, slot)
-        img, boxes = random_expand(img, boxes, rng, self.mean)
-        if dump:
+        if dump:  # stepwise (eager-expand) path so every stage has pixels
+            img, boxes = random_expand(img, boxes, rng, self.mean)
             self._dump("2_expand", img, boxes, labels, slot)
-        img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
-        if dump:
+            img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
             self._dump("3_crop", img, boxes, labels, slot)
+        else:  # fused virtual-expand path: bit-identical, same RNG draws
+            img, boxes, labels = random_expand_crop(img, boxes, labels, rng,
+                                                    self.mean)
         img, boxes = random_mirror(img, boxes, rng)
         if dump:
             self._dump("4_mirror", img, boxes, labels, slot)
