@@ -29,6 +29,8 @@ from __future__ import annotations
 import cv2
 import numpy as np
 
+from . import _native
+
 
 def _iou_one_to_many(boxes: np.ndarray, rect: np.ndarray) -> np.ndarray:
     """IoU of [N,4] boxes against one [4] rect (jaccard_numpy parity)."""
@@ -200,39 +202,31 @@ def _compose_crop(img, rect, top, left, fill):
     return out
 
 
-def random_expand_crop(img, boxes, labels, rng, mean, max_ratio=4.0,
-                       trials=50):
-    """Fused Expand + RandomSampleCrop drawing the IDENTICAL RNG
-    sequence as random_expand followed by random_sample_crop, but the
-    expanded canvas stays virtual: the crop trial loop only needs box
-    geometry, so pixels are touched once, when the accepted window is
-    composed (mean-filling just its uncovered strips). Bit-identical
-    outputs to the two-step path (tests/test_augment_fused.py); removes
-    the dominant host cost of the pipeline (the up-to-16x-area canvas
-    memset + paste of the eager expand)."""
-    h, w, _ = img.shape
+def sample_expand_crop_geometry(shape_hw, boxes, labels, rng, max_ratio=4.0,
+                                trials=50):
+    """Draw the IDENTICAL RNG sequence as random_expand followed by
+    random_sample_crop, but return only the geometry — no pixels are
+    touched. Returns ``((top, left, rect), boxes, labels)`` where the
+    result image is the window ``rect = (x1, y1, x2, y2)`` of the
+    virtual canvas (the input pasted at ``(top, left)`` on an infinite
+    mean-colored background) and ``boxes`` are absolute coords inside
+    that window. Callers compose the pixels once, via _compose_crop or
+    the native fused sampler (odtpu.data._native)."""
+    h, w = shape_hw
     if rng.integers(2):
         top = left = 0
         eh, ew = h, w
-        expanded = False
     else:
         ratio = rng.uniform(1.0, max_ratio)
         left = int(rng.uniform(0.0, w * ratio - w))
         top = int(rng.uniform(0.0, h * ratio - h))
         eh, ew = int(h * ratio), int(w * ratio)
-        expanded = True
         boxes = boxes.copy()
         boxes[:, 0::2] += left
         boxes[:, 1::2] += top
-    fill = _expand_fill(mean, img.dtype)
-
-    def whole():  # the un-cropped result (expanded or original)
-        return _compose_crop(img, (0, 0, ew, eh), top, left, fill) \
-            if expanded else img
-
     mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
     if mode is None or boxes is None or len(boxes) == 0:
-        return whole(), boxes, labels
+        return (top, left, (0, 0, ew, eh)), boxes, labels
     min_iou = -np.inf if mode[0] is None else mode[0]
     max_iou = np.inf if mode[1] is None else mode[1]
     for _ in range(trials):
@@ -252,13 +246,29 @@ def random_expand_crop(img, boxes, labels, rng, mean, max_ratio=4.0,
                   (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
         if not inside.any():
             continue
-        cropped = _compose_crop(img, tuple(rect), top, left, fill) \
-            if expanded else img[rect[1]:rect[3], rect[0]:rect[2], :]
         new_boxes = boxes[inside].copy()
         new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
         new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
-        return cropped, new_boxes, labels[inside]
-    return whole(), boxes, labels
+        return (top, left, tuple(int(v) for v in rect)), new_boxes, \
+            labels[inside]
+    return (top, left, (0, 0, ew, eh)), boxes, labels
+
+
+def random_expand_crop(img, boxes, labels, rng, mean, max_ratio=4.0,
+                       trials=50):
+    """Fused Expand + RandomSampleCrop: the expanded canvas stays
+    virtual — the trial loop (sample_expand_crop_geometry) only needs
+    box geometry, so pixels are touched once, when the accepted window
+    is composed (mean-filling just its uncovered strips). Bit-identical
+    outputs to the two-step path (tests/test_augment_fused.py); removes
+    the dominant host cost of the pipeline (the up-to-16x-area canvas
+    memset + paste of the eager expand)."""
+    h, w, _ = img.shape
+    geo, boxes, labels = sample_expand_crop_geometry(
+        (h, w), boxes, labels, rng, max_ratio, trials)
+    top, left, rect = geo
+    fill = _expand_fill(mean, img.dtype)
+    return _compose_crop(img, rect, top, left, fill), boxes, labels
 
 
 def random_mirror(img, boxes, rng):
@@ -384,6 +394,27 @@ class SSDAugmentation:
             self._dump("2_expand", img, boxes, labels, slot)
             img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
             self._dump("3_crop", img, boxes, labels, slot)
+        elif (self.device_photometric and img.dtype == np.uint8
+              and _native.available):
+            # fully fused native path: one C++ pass does virtual-canvas
+            # compose + x-flip + cv2-bit-exact u8 INTER_LINEAR resize,
+            # each output pixel reading at most 4 source taps. Identical
+            # RNG draws and bit-identical pixels/boxes to the pure-python
+            # path below (tests/test_native_sampler.py).
+            geo, boxes, labels = sample_expand_crop_geometry(
+                (h, w), boxes, labels, rng)
+            top, left, rect = geo
+            flip = bool(rng.integers(2))  # random_mirror's coin
+            win_w = rect[2] - rect[0]
+            win_h = rect[3] - rect[1]
+            if flip:
+                boxes[:, [0, 2]] = win_w - boxes[:, [2, 0]]
+            boxes[:, 0::2] /= win_w  # to percent
+            boxes[:, 1::2] /= win_h
+            img = _native.fused_sample_u8(
+                img, top, left, rect, flip,
+                _expand_fill(self.mean, img.dtype), self.size)
+            return img, boxes, labels
         else:  # fused virtual-expand path: bit-identical, same RNG draws
             img, boxes, labels = random_expand_crop(img, boxes, labels, rng,
                                                     self.mean)
