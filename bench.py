@@ -42,9 +42,11 @@ PARENT_BUDGET_S = int(os.environ.get("ODTPU_BENCH_BUDGET_S", "780"))
 WORKER_TIMEOUT_S = 330
 # the extras carry their own alarm deadlines (120s B=1 latency + 120s
 # on-chip B=1 + 150s on-chip B=32 throughput + 240s train throughput)
-# on top of the primary windows, so the worker that runs them needs
-# headroom beyond WORKER_TIMEOUT_S or a slow-compile phase kills it
-# AFTER the primary result was measured but before the JSON printed
+# on top of the primary windows, so the worker that runs them gets
+# headroom beyond WORKER_TIMEOUT_S when the budget allows. The primary
+# number can NOT be lost to a slow extras phase either way: the worker
+# prints the primary JSON line before starting extras, and the parent
+# recovers that line from a killed worker's partial stdout.
 EXTRAS_TIMEOUT_S = WORKER_TIMEOUT_S + 120 + 120 + 150 + 240
 # kept free for the CPU fallback so the one JSON line always lands
 # inside PARENT_BUDGET_S (the deadline contract with the driver)
@@ -69,12 +71,20 @@ def _run_worker(mode, extras, timeout_s, platform=None):
         env["JAX_PLATFORMS"] = platform
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--mode", mode] + (["--extras"] if extras else [])
+    # stdout goes to a temp file, not a pipe: the worker prints its
+    # primary JSON before the extras phase, and a file retains that
+    # line when the worker is killed mid-extras (TimeoutExpired.stdout
+    # is None on POSIX, so pipe capture would lose it)
+    import tempfile
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s, env=env)
-        return _parse_json_line(r.stdout)
-    except subprocess.TimeoutExpired:
-        return None
+        with tempfile.TemporaryFile(mode="w+") as fout:
+            try:
+                subprocess.run(cmd, stdout=fout, stderr=subprocess.DEVNULL,
+                               timeout=timeout_s, env=env)
+            except subprocess.TimeoutExpired:
+                pass
+            fout.seek(0)
+            return _parse_json_line(fout.read())
     except Exception:
         return None
 
@@ -104,7 +114,7 @@ def main():
                 extra_keep = {}
                 if best is not None:
                     for k in ("p50_latency_ms_b1", "onchip_ms_b1",
-                              "train_img_per_sec"):
+                              "onchip_ips_b32", "train_img_per_sec"):
                         if k in best.get("extra", {}):
                             extra_keep[k] = best["extra"][k]
                 best = res
@@ -255,17 +265,21 @@ def worker(mode, extras):
                       "(depth-1)".format(WINDOWS)) if mode == "overlap"
              else "best of {} serial windows".format(WINDOWS)}
 
-    if extras:
-        extra.update(_extras(cfg, model, variables, priors_d, mean_dev,
-                             variances, raw, infer, infer_fn))
-
-    print(json.dumps({
+    result = {
         "metric": "ssd300_images_per_sec",
         "value": best_w["ips"],
         "unit": "img/s",
         "vs_baseline": round(best_w["ips"] / BASELINE_FPS, 2),
         "extra": extra,
-    }))
+    }
+    if extras:
+        # land the primary number first: if the extras phase outlives
+        # the parent's worker timeout, the parent recovers this line
+        # from the killed worker's partial stdout
+        print(json.dumps(result), flush=True)
+        extra.update(_extras(cfg, model, variables, priors_d, mean_dev,
+                             variances, raw, infer, infer_fn))
+    print(json.dumps(result))
 
 
 def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
@@ -291,9 +305,12 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             signal.signal(signal.SIGALRM, old)
 
     def _b1_latency():
-        # serving path at B=1; detect pads the candidate-set axis up to
-        # the verified-clean kernel grid so the Pallas NMS serves B=1
-        # too (ops/detect.py _PALLAS_MIN_SETS)
+        # serving path at B=1 with impl='auto': detect routes sub-80-
+        # candidate-set workloads to the lax NMS as a latency choice
+        # (2.7 ms vs 4.2 ms padded-Pallas on-chip; ops/detect.py
+        # _PALLAS_MIN_SETS boundary note) — so this measures the lax
+        # path. impl='pallas' (set padding) is benched separately in
+        # BENCH_NOTES.
         import cv2
         import jax
         import numpy as np
@@ -311,20 +328,14 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             lat.append(time.time() - t1)
         return round(float(np.percentile(lat, 50) * 1000), 2)
 
-    def _b1_onchip():
-        # RTT-free on-chip B=1 latency: chain N full pipeline iterations
-        # inside ONE jit (data dependence through the carry prevents
-        # hoisting), so the ~30 ms tunnel round-trip that dominates
-        # p50_latency_ms_b1 amortizes to nothing (tools/profile_eval.py
-        # measures the same way)
-        import cv2
+    def _chained_ms(batch_u8, n_chain, reps=3):
+        # RTT-free on-chip time per pipeline iteration: chain n_chain
+        # full iterations inside ONE jit (data dependence through the
+        # carry prevents hoisting), so the ~30 ms tunnel round-trip
+        # amortizes to nothing (tools/profile_eval.py measures the
+        # same way)
         import jax
         import jax.numpy as jnp
-        import numpy as np
-        device = jax.devices()[0]
-        x1 = jnp.asarray(cv2.resize(raw[0], (300, 300))[None])
-        xd = jax.device_put(x1, device)
-        N_CHAIN = 20
 
         @jax.jit
         def chained(variables, priors, x0_u8, mean):
@@ -335,14 +346,19 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
                 s = jnp.sum(out[:, 0, 0])
                 return xc + s * 1e-30, acc + s
             x0 = x0_u8.astype(jnp.float32)
-            return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
+            return jax.lax.fori_loop(0, n_chain, body, (x0, 0.0))[1]
 
+        xd = jax.device_put(jnp.asarray(batch_u8), jax.devices()[0])
         float(chained(variables, priors_d, xd, mean_dev))  # compile
         t0 = time.time()
-        reps = 3
         for _ in range(reps):
             float(chained(variables, priors_d, xd, mean_dev))
-        return round((time.time() - t0) / reps / N_CHAIN * 1000, 2)
+        return (time.time() - t0) / reps / n_chain * 1000
+
+    def _b1_onchip():
+        import cv2
+        return round(_chained_ms(cv2.resize(raw[0], (300, 300))[None],
+                                 n_chain=20), 2)
 
     try:
         out["p50_latency_ms_b1"] = _with_deadline(_b1_latency, 120)
@@ -356,36 +372,14 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             type(e).__name__, str(e)[:160].replace("\n", " "))
 
     def _b32_onchip_ips():
-        # RTT-free on-chip B=32 eval throughput (same chaining method
-        # as _b1_onchip): the sustained rate of the full fused eval
-        # step once dispatch is amortized — what a non-tunneled host
-        # observes (tools/profile_eval.py cross-checks this number)
+        # RTT-free on-chip B=32 eval throughput: the sustained rate of
+        # the full fused eval step once dispatch is amortized — what a
+        # non-tunneled host observes (tools/profile_eval.py cross-checks
+        # this number)
         import cv2
-        import jax
-        import jax.numpy as jnp
         import numpy as np
-        device = jax.devices()[0]
         xb = np.stack([cv2.resize(im, (300, 300)) for im in raw])
-        xd = jax.device_put(jnp.asarray(xb), device)
-        N_CHAIN = 10
-
-        @jax.jit
-        def chained(variables, priors, x0_u8, mean):
-            def body(i, carry):
-                xc, acc = carry
-                out = infer_fn(variables, priors,
-                               xc.astype(jnp.uint8), mean)
-                s = jnp.sum(out[:, 0, 0])
-                return xc + s * 1e-30, acc + s
-            x0 = x0_u8.astype(jnp.float32)
-            return jax.lax.fori_loop(0, N_CHAIN, body, (x0, 0.0))[1]
-
-        float(chained(variables, priors_d, xd, mean_dev))  # compile
-        t0 = time.time()
-        reps = 3
-        for _ in range(reps):
-            float(chained(variables, priors_d, xd, mean_dev))
-        ms = (time.time() - t0) / reps / N_CHAIN * 1000
+        ms = _chained_ms(xb, n_chain=10)
         return round(len(raw) / ms * 1000, 1)
 
     try:

@@ -39,26 +39,47 @@ def _load():
         return
     try:
         with open(_SRC, "rb") as f:
-            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+            src_hash = hashlib.sha256(f.read()).hexdigest()
         cache = os.environ.get(
             "ODTPU_NATIVE_CACHE",
             os.path.expanduser("~/.cache/odtpu-native"))
         os.makedirs(cache, exist_ok=True)
-        so = os.path.join(cache, "sampler-{}.so".format(tag))
-        if not os.path.exists(so):
-            tmp = "{}.tmp.{}".format(so, os.getpid())
-            for flags in (["-O3", "-march=native"], ["-O2"]):
-                try:
-                    subprocess.run(
-                        ["g++", *flags, "-shared", "-fPIC", "-o", tmp, _SRC],
-                        check=True, capture_output=True, timeout=120)
-                    os.replace(tmp, so)  # atomic vs concurrent builders
-                    break
-                except (subprocess.CalledProcessError,
-                        subprocess.TimeoutExpired):
-                    continue
-            else:
-                return
+        # -march=native codegen is host-CPU-specific: key the cache on
+        # (source, flags, cpu identity) so a shared cache dir across
+        # heterogeneous hosts (the multihost setup) can't serve an .so
+        # with unsupported ISA extensions (SIGILL in a loader worker)
+        cpu_id = os.uname().machine
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        cpu_id += hashlib.sha256(
+                            line.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        so = None
+        for flags in (["-O3", "-march=native"], ["-O2"]):
+            tag = hashlib.sha256("|".join(
+                [src_hash, " ".join(flags), cpu_id]).encode()
+            ).hexdigest()[:16]
+            cand = os.path.join(cache, "sampler-{}.so".format(tag))
+            if os.path.exists(cand):
+                so = cand
+                break
+            tmp = "{}.tmp.{}".format(cand, os.getpid())
+            try:
+                subprocess.run(
+                    ["g++", *flags, "-shared", "-fPIC", "-o", tmp, _SRC],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, cand)  # atomic vs concurrent builders
+                so = cand
+                break
+            except (subprocess.CalledProcessError,
+                    subprocess.TimeoutExpired):
+                continue
+        if so is None:
+            return
         lib = ctypes.CDLL(so)
         fn = lib.odtpu_fused_sample_u8
         fn.restype = ctypes.c_int

@@ -129,7 +129,7 @@ def _finalize(out_fg: Array, top_k: int, cross_class_topk: bool):
 def detect_out(loc: Array, conf: Array, priors: Array, variances,
                conf_thresh: float = 0.01, nms_thresh: float = 0.45,
                top_k: int = 200, cross_class_topk: bool = False,
-               impl: str = "auto"):
+               impl: str = "auto", row_compact: bool = True):
     """Decode + per-class NMS for a batch.
 
     Args:
@@ -137,13 +137,17 @@ def detect_out(loc: Array, conf: Array, priors: Array, variances,
         conf:   [B, P, C] class probabilities (already softmaxed).
         priors: [P, 4] center-size priors.
         impl: 'auto' (pallas on TPU, lax elsewhere), 'lax', or 'pallas'.
+        row_compact: partition each class row survivors-first (the dense
+            reference contract). Pass False when the caller re-ranks with
+            :func:`_compact` anyway (bit-identical rows, skips a
+            [B*(C-1), K] top_k + gather — see detect_out_compact).
     Returns:
         [B, C, top_k, 5] float32: (score, x1, y1, x2, y2), zero padded.
     """
     variances = tuple(float(v) for v in variances)
     return _detect_out(loc, conf, priors, variances, float(conf_thresh),
                        float(nms_thresh), int(top_k), bool(cross_class_topk),
-                       impl, True)
+                       impl, bool(row_compact))
 
 
 @partial(jax.jit, static_argnames=("variances", "conf_thresh", "nms_thresh",
@@ -198,12 +202,18 @@ def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
                   odm_conf: Array, priors: Array, variances,
                   conf_thresh: float = 0.01, nms_thresh: float = 0.45,
                   top_k: int = 200, neg_anchor_thresh: float = 0.99,
-                  compact: bool = True, impl: str = "auto"):
+                  compact: bool = True, impl: str = "auto",
+                  row_compact: bool = None):
     """RefineDet two-step decode + per-class NMS.
 
     arm_conf [B,P,2] and odm_conf [B,P,C] must be softmaxed (eval phase).
     Anchors the ARM is confident are background (P(bg) > 0.99, the
     paper's test-time filter) are removed from scoring.
+
+    row_compact defaults to ``not compact`` (the per-class partition is
+    redundant under the cross-class _compact re-rank); pass it
+    explicitly when requesting the dense tensor but compacting
+    downstream (make_eval_step's self-audit path).
     """
     variances = tuple(float(v) for v in variances)
     # same BBOX_XFORM_CLIP clamp as refinedet_loss (losses._XFORM_CLIP):
@@ -218,9 +228,11 @@ def detect_refine(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     decoded = decode(odm_loc, refined, variances)  # [B, P, 4]
     keep = arm_conf[..., 0] <= neg_anchor_thresh  # [B, P]
     conf = odm_conf * keep[..., None]
+    if row_compact is None:
+        row_compact = not compact
     out_fg = _per_class_nms(decoded, conf[..., 1:], float(conf_thresh),
                             float(nms_thresh), int(top_k), impl,
-                            compact_rows=not compact)  # see detect_out_compact
+                            compact_rows=bool(row_compact))
     dense = _finalize(out_fg, int(top_k), False)
     return _compact(dense, int(top_k)) if compact else dense
 

@@ -253,15 +253,21 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
         if has_bn:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, images, phase="eval", train=False)
+        # under compact, skip the per-class survivors-first partition:
+        # compact_rows re-ranks cross-class by score (bit-identical
+        # rows — see detect_out_compact), and the self-audit's
+        # score>0 counts don't depend on row order either
         if is_refine:
             arm_loc, arm_conf, odm_loc, odm_conf = out
             dense = detect_refine(arm_loc, arm_conf, odm_loc, odm_conf,
                                   priors_arg, variances, conf_thresh,
-                                  nms_thresh, top_k, compact=False)
+                                  nms_thresh, top_k, compact=False,
+                                  row_compact=not compact)
         else:
             loc, conf = out
             dense = detect_out(loc, conf, priors_arg, variances,
-                               conf_thresh, nms_thresh, top_k)
+                               conf_thresh, nms_thresh, top_k,
+                               row_compact=not compact)
         if not compact:
             return dense
         rows = compact_rows(dense, top_k)

@@ -143,8 +143,8 @@ def main():
     assert np.isfinite(losses).all(), losses
     both = allgather_host_rows(np.asarray([losses], np.float32))
     assert both.shape == (args.world, 3)
-    np.testing.assert_allclose(both[0], both[1], rtol=0, atol=0), \
-        "ranks disagree on the global loss"
+    np.testing.assert_allclose(both[0], both[1], rtol=0, atol=0,
+                               err_msg="ranks disagree on the global loss")
 
     print(f"MULTIHOST_OK rank={args.rank} mAP={mAP:.4f} "
           f"train_losses={losses}")

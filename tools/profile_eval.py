@@ -158,21 +158,22 @@ def main():
                        jnp.moveaxis(c[..., 1:], -1, 1)
                        .reshape(-1, c.shape[1]), 200)[0][:, 0]),
                    conf)
-        # NMS sub-stages: gather of top-200 boxes per (img, class) set,
-        # the Pallas alive-mask alone, and the survivors-first
-        # compaction (argsort + 3 gathers)
+        # NMS sub-stages: per-image gather of top-200 boxes (the
+        # production layout — operand [B, P, 4], indices [B, Cf*200];
+        # per_class_nms_pallas), the Pallas alive-mask alone, and the
+        # survivors-first compaction (argsort + 3 gathers)
         Cfg = conf.shape[-1] - 1
         sb = jnp.moveaxis(conf[..., 1:], -1, 1).reshape(B * Cfg, -1)
         tsc, order = top_k_exact(sb, 200)
-        bbc = jnp.broadcast_to(decoded[:, None],
-                               (B, Cfg) + decoded.shape[1:])
-        bbc = bbc.reshape(B * Cfg, -1, 4)
-        tbx = jnp.take_along_axis(bbc, order[..., None], axis=1)
-        chain_time("  boxes gather [N,P,4]->[N,200,4]",
-                   lambda o, bb: jnp.sum(jnp.take_along_axis(
-                       bb, o.astype(jnp.int32)[..., None],
+        tbx = jnp.take_along_axis(
+            decoded, order.reshape(B, Cfg * 200)[..., None],
+            axis=1).reshape(B * Cfg, 200, 4)
+        chain_time("  boxes gather [B,P,4]->[B,Cf*200,4]",
+                   lambda o, dec: jnp.sum(jnp.take_along_axis(
+                       dec, o.astype(jnp.int32).reshape(
+                           B, Cfg * 200)[..., None],
                        axis=1)[:, 0, 0]),
-                   order.astype(jnp.float32), bbc)
+                   order.astype(jnp.float32), decoded)
         if args.impl != "lax":
             from odtpu.ops.pallas.nms_kernel import nms_mask_pallas
             chain_time("  pallas alive mask",

@@ -115,13 +115,12 @@ def main(argv=None):
         restored = Checkpointer(args.resume).restore(state)
         # restore() returns host numpy trees; re-apply the exact mesh
         # placement create_train_state chose (the TP layout rule is
-        # shape-based, so one uniform tree_map covers params, momentum
-        # buffers and batch stats). Without this, MESH_MODEL>1 resume
+        # shape-based, so shard_params covers params, momentum buffers
+        # and batch stats uniformly). Without this, MESH_MODEL>1 resume
         # would silently drop the tensor-parallel layout and let GSPMD
         # re-place arbitrarily. (Reference resume: train.py:67-72.)
-        from odtpu.parallel.mesh import param_shardings
-        sh = param_shardings(restored, mesh)
-        state = jax.tree.map(jax.device_put, restored, sh)
+        from odtpu.parallel.mesh import shard_params
+        state = shard_params(restored, mesh)
         start_step = int(np.asarray(state.step))
         print("resumed at step", start_step)
 
