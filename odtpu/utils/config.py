@@ -194,6 +194,27 @@ def load_cfg(cfg_filename=None):
     return c
 
 
+def resolve_cfg_args(args):
+    """Resolve the CLI's config path and run naming.
+
+    With an explicit ``--cfg path``, cfg_name/job_group are derived from
+    the yaml path (``cfgs/<group>/<name>.yml`` -> group/name) so such
+    runs don't collide under the default cfg_name's weights/logs/history
+    dirs; otherwise the path is built from cfg_name/job_group (the
+    reference's setup_folder contract, lib/utils/utils.py:67-79).
+    Mutates ``args`` in place and returns the cfg path.
+    """
+    import os.path as osp
+    if getattr(args, "cfg", None):
+        cfg_path = args.cfg
+        args.cfg_name = osp.splitext(osp.basename(cfg_path))[0]
+        parent = osp.basename(osp.dirname(osp.abspath(cfg_path)))
+        if parent and parent != "cfgs":
+            args.job_group = parent
+        return cfg_path
+    return osp.join("cfgs", args.job_group, args.cfg_name + ".yml")
+
+
 def update_cfg(c=None):
     """Derived values (reference: lib/utils/config.py:183-186).
 

@@ -108,3 +108,22 @@ def test_backup_jobs(tmp_path):
     assert (tmp_path / "history" / "base" / "smoke_1" / "smoke.yml").is_file()
     backup_jobs(cfg, str(out_dir), str(log_dir), args)
     assert (tmp_path / "history" / "base" / "smoke_2" / "smoke.yml").is_file()
+
+
+def test_resolve_cfg_args_naming():
+    """Explicit --cfg derives run naming from the yaml path so runs
+    don't collide under the default cfg_name's dirs (the wart: a
+    --cfg cfgs/tests/x.yml run used to back up into history/base/
+    ssd_vgg16_voc)."""
+    import argparse
+
+    from odtpu.utils.config import resolve_cfg_args
+
+    a = argparse.Namespace(cfg="cfgs/tests/refinedet_synth.yml",
+                           cfg_name="ssd_vgg16_voc", job_group="base")
+    assert resolve_cfg_args(a) == "cfgs/tests/refinedet_synth.yml"
+    assert a.cfg_name == "refinedet_synth"
+    assert a.job_group == "tests"
+    b = argparse.Namespace(cfg=None, cfg_name="x", job_group="g")
+    assert resolve_cfg_args(b) == "cfgs/g/x.yml"
+    assert (b.cfg_name, b.job_group) == ("x", "g")

@@ -46,8 +46,8 @@ def parse_args(argv=None):
 
 def setup(args):
     from odtpu.utils.config import load_cfg
-    cfg_path = args.cfg or osp.join("cfgs", args.job_group,
-                                    args.cfg_name + ".yml")
+    from odtpu.utils.config import resolve_cfg_args
+    cfg_path = resolve_cfg_args(args)
     cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
     if not osp.isfile(cfg_path):
         print("config {} not found; using defaults".format(cfg_path))

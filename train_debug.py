@@ -29,8 +29,8 @@ def main(argv=None):
                                 make_mesh, make_train_step, shard_batch)
     from odtpu.utils.config import load_cfg
 
-    cfg_path = args.cfg or osp.join("cfgs", args.job_group,
-                                    args.cfg_name + ".yml")
+    from odtpu.utils.config import resolve_cfg_args
+    cfg_path = resolve_cfg_args(args)
     cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
     mesh = make_mesh(cfg)
     print("mesh:", dict(mesh.shape))
