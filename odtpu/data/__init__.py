@@ -18,10 +18,16 @@ def dataset_factory(phase, cfg):
     name = cfg.DATASET.NAME.upper()
     train = phase == "train"
     sets = cfg.DATASET.TRAIN_SETS if train else cfg.DATASET.TEST_SETS
+    image_cache = None
+    if bool(cfg.DATASET.CACHE_IMAGES):
+        from .cache import ImageCache
+        image_cache = ImageCache(float(cfg.DATASET.CACHE_GB))
     if name.startswith("VOC"):
-        dataset = VOCDetection(cfg.DATASET.DATASET_DIR, sets)
+        dataset = VOCDetection(cfg.DATASET.DATASET_DIR, sets,
+                               image_cache=image_cache)
     elif name.startswith("COCO"):
-        dataset = COCODetection(cfg.DATASET.DATASET_DIR, sets)
+        dataset = COCODetection(cfg.DATASET.DATASET_DIR, sets,
+                                image_cache=image_cache)
     else:
         raise KeyError("unknown dataset {!r}".format(cfg.DATASET.NAME))
     transform = SSDAugmentation(

@@ -25,8 +25,10 @@ class COCODetection:
     labels [N] 0-79, extra (h,w,c), img_id (int coco id))."""
 
     def __init__(self, root, image_sets=(("2014", "train"),),
-                 dataset_name="COCO2014", anno_file_tmpl=None):
+                 dataset_name="COCO2014", anno_file_tmpl=None,
+                 image_cache=None):
         self.name = dataset_name
+        self.image_cache = image_cache  # odtpu.data.cache.ImageCache
         self.root = root
         self.items = []  # (img_path, coco_img_id, [w,h], anns)
         self.cat_to_label = None
@@ -66,7 +68,8 @@ class COCODetection:
 
     def __getitem__(self, index):
         path, img_id, (w, h), anns = self.items[index]
-        img = cv2.imread(path)
+        img = (self.image_cache.imread(path) if self.image_cache
+               else cv2.imread(path))
         if img is None:
             raise IOError("failed to read " + path)
         boxes, labels = [], []

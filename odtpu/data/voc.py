@@ -56,8 +56,10 @@ class VOCDetection:
 
     def __init__(self, root, image_sets=(("2007", "trainval"),
                                          ("2012", "trainval")),
-                 keep_difficult=False, dataset_name="VOC0712"):
+                 keep_difficult=False, dataset_name="VOC0712",
+                 image_cache=None):
         self.name = dataset_name
+        self.image_cache = image_cache  # odtpu.data.cache.ImageCache
         self.root = root
         self.image_sets = image_sets
         self.keep_difficult = keep_difficult
@@ -82,9 +84,11 @@ class VOCDetection:
         return osp.join(rootpath, "Annotations", img_id + ".xml")
 
     def __getitem__(self, index):
-        img = cv2.imread(self.image_path(index))
+        path = self.image_path(index)
+        img = (self.image_cache.imread(path) if self.image_cache
+               else cv2.imread(path))
         if img is None:
-            raise IOError("failed to read " + self.image_path(index))
+            raise IOError("failed to read " + path)
         boxes, labels, _ = parse_voc_xml(self.anno_path(index),
                                          self.keep_difficult)
         return {

@@ -97,6 +97,11 @@ def default_cfg() -> AttrDict:
     # TPU-new: run PhotometricDistort + mean-subtract inside the train
     # step (host ships uint8, 4x less H2D); False = reference host order
     C.DATASET.DEVICE_PHOTOMETRIC = False
+    # TPU-new: opt-in decoded-image RAM cache — JPEG decode dominates
+    # the host loader once geometry runs in the native sampler
+    # (odtpu/data/cache.py); bounded, no eviction
+    C.DATASET.CACHE_IMAGES = False
+    C.DATASET.CACHE_GB = 8.0
 
     # ---------------- Model ----------------
     C.MODEL = AttrDict()

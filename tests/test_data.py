@@ -169,3 +169,53 @@ def test_device_photometric_stays_uint8():
     out, b, l = aug(img, np.zeros((0, 4), np.float32),
                     np.zeros((0,), np.int64), rng=rng)
     assert out.dtype == np.uint8 and out.shape == (300, 300, 3)
+
+
+def test_image_cache_exact_and_isolated(voc_root):
+    """Cache hits are byte-identical to cv2.imread and mutation of a
+    returned array can't poison later reads (odtpu/data/cache.py)."""
+    import cv2
+    from odtpu.data.cache import ImageCache
+
+    root, _ = voc_root
+    cache = ImageCache(max_gb=1.0)
+    ds = VOCDetection(root, (("2007", "test"),), image_cache=cache)
+    path = ds.image_path(0)
+    direct = cv2.imread(path)
+
+    first = ds[0]["image"]                 # miss: decode + insert
+    np.testing.assert_array_equal(first, direct)
+    assert cache.stats()["images"] == 1
+    first[:] = 0                           # consumer trashes its copy
+    second = ds[0]["image"]                # hit
+    np.testing.assert_array_equal(second, direct)
+    second[:] = 255
+    np.testing.assert_array_equal(ds[0]["image"], direct)
+
+
+def test_image_cache_budget_stops_inserting(voc_root):
+    from odtpu.data.cache import ImageCache
+
+    root, _ = voc_root
+    tiny = ImageCache(max_gb=1e-9)  # fits nothing
+    ds = VOCDetection(root, (("2007", "test"),), image_cache=tiny)
+    a = ds[0]["image"]
+    assert tiny.stats()["images"] == 0 and tiny.stats()["full"]
+    b = ds[0]["image"]  # still served, straight from disk
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_factory_cache_flag(voc_root):
+    root, _ = voc_root
+    cfg = default_cfg()
+    update_cfg(cfg)
+    cfg.DATASET.DATASET_DIR = root
+    cfg.DATASET.TEST_SETS = (("2007", "test"),)
+    cfg.DATASET.EVAL_BATCH_SIZE = 4
+    cfg.DATASET.NUM_WORKERS = 2
+    cfg.DATASET.CACHE_IMAGES = True
+    loader = dataset_factory("eval", cfg)
+    b1 = next(iter(loader))
+    assert loader.dataset.image_cache.stats()["images"] > 0
+    b2 = next(iter(loader))
+    np.testing.assert_array_equal(b1["images"], b2["images"])

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--cache", action="store_true",
+                    help="DATASET.CACHE_IMAGES: decoded-image RAM cache "
+                         "(the warm epoch fills it)")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp()
@@ -49,6 +52,7 @@ def main():
     cfg.DATASET.TRAIN_SETS = (("2007", "trainval"),)
     cfg.DATASET.NUM_WORKERS = args.workers
     cfg.DATASET.DEVICE_PHOTOMETRIC = True  # production train path
+    cfg.DATASET.CACHE_IMAGES = bool(args.cache)
     update_cfg(cfg)
     loader = dataset_factory("train", cfg)
 
@@ -61,8 +65,9 @@ def main():
             n += b["images"].shape[0]
     dt = time.time() - t0
     print("host train loader: {:.0f} img/s  ({} images, {} workers, "
-          "native_sampler={})".format(
-              n / dt, n, args.workers, _native.available))
+          "native_sampler={}, cache={})".format(
+              n / dt, n, args.workers, _native.available,
+              loader.dataset.image_cache.stats() if args.cache else False))
 
 
 if __name__ == "__main__":
