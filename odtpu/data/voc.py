@@ -60,6 +60,7 @@ class VOCDetection:
                  image_cache=None):
         self.name = dataset_name
         self.image_cache = image_cache  # odtpu.data.cache.ImageCache
+        self._anno_cache = {} if image_cache is not None else None
         self.root = root
         self.image_sets = image_sets
         self.keep_difficult = keep_difficult
@@ -89,8 +90,18 @@ class VOCDetection:
                else cv2.imread(path))
         if img is None:
             raise IOError("failed to read " + path)
-        boxes, labels, _ = parse_voc_xml(self.anno_path(index),
-                                         self.keep_difficult)
+        # annotations cached under the same opt-in: pure function of the
+        # file; copies out (augmentation transforms boxes downstream)
+        if self._anno_cache is not None:
+            cached = self._anno_cache.get(index)
+            if cached is None:
+                cached = parse_voc_xml(self.anno_path(index),
+                                       self.keep_difficult)
+                self._anno_cache[index] = cached
+            boxes, labels = cached[0].copy(), cached[1].copy()
+        else:
+            boxes, labels, _ = parse_voc_xml(self.anno_path(index),
+                                             self.keep_difficult)
         return {
             "image": img,
             "boxes": boxes,
