@@ -99,3 +99,64 @@ def test_resume_continues_step(workspace, capsys):
     captured = capsys.readouterr().out
     assert "resumed at step 4" in captured
     assert "done at iter 6" in captured
+
+
+@pytest.fixture(scope="module")
+def coco_workspace(tmp_path_factory):
+    from synth import make_coco
+    root = tmp_path_factory.mktemp("wsc")
+    make_coco(str(root / "data" / "coco"), split="val2014", n_images=8,
+              seed=3)
+    cfg_path = root / "coco_smoke.yml"
+    cfg_path.write_text(
+        "GENERAL:\n"
+        "  ROOT_DIR: '{root}'\n"
+        "DATASET:\n"
+        "  NAME: 'COCO2014'\n"
+        "  SUB_DIR: 'coco'\n"
+        "  TRAIN_SETS: (('2014', 'val'),)\n"
+        "  TEST_SETS: (('2014', 'val'),)\n"
+        "  NUM_CLASSES: 5\n"
+        "  TRAIN_BATCH_SIZE: 8\n"
+        "  EVAL_BATCH_SIZE: 8\n"
+        "  NUM_WORKERS: 2\n"
+        "  IMAGE_SIZE: (128, 128)\n"
+        "  MAX_BOXES: 10\n"
+        "  CACHE_IMAGES: True\n"
+        "MODEL:\n"
+        "  SSD_TYPE: 'SSD'\n"
+        "  IMAGE_SIZE: (128, 128)\n"
+        "  EXTRAS: [128, 'S', 256, 64, 'S', 128]\n"
+        "  STEPS: [8, 16, 32, 64]\n"
+        "  MIN_SIZES: [16, 32, 64, 96]\n"
+        "  MAX_SIZES: [32, 64, 96, 128]\n"
+        "  ASPECT_RATIOS: [[2], [2], [2], [2]]\n"
+        "TPU:\n"
+        "  COMPUTE_DTYPE: 'float32'\n"
+        "TRAIN:\n"
+        "  OPTIMIZER:\n"
+        "    LR: 1.0e-5\n"
+        "    CLIP_GRAD_NORM: 10.0\n"
+        "  MAX_ITER: 3\n"
+        "  EVAL_ITER: 3\n"
+        "  SAVE_ITER: 3\n"
+        "  LOG_LOSS_ITER: 1\n"
+        "  LR_SCHEDULER:\n"
+        "    STEPS: (2,)\n".format(root=root))
+    return root, str(cfg_path)
+
+
+def test_train_cli_smoke_coco(coco_workspace, capsys):
+    """The COCO dataset composed through the real train.py CLI: threaded
+    loader on a synthetic COCO tree, train steps, in-training EvalCOCO
+    (mAP@0.5 and mAP@[.5:.95]), checkpoint. Mirrors the reference's
+    cfgs/tests/test_train_coco.yml smoke protocol."""
+    root, cfg_path = coco_workspace
+    import train as train_mod
+    out_dir = str(root / "out")
+    train_mod.main(["--cfg", cfg_path, "--cfg_name", "coco_smoke",
+                    "--output_dir", out_dir])
+    captured = capsys.readouterr().out
+    assert "mAP" in captured
+    assert "done at iter 3" in captured
+    assert osp.isdir(osp.join(out_dir, "ckpt"))
