@@ -20,8 +20,11 @@ def dataset_factory(phase, cfg):
     sets = cfg.DATASET.TRAIN_SETS if train else cfg.DATASET.TEST_SETS
     image_cache = None
     if bool(cfg.DATASET.CACHE_IMAGES):
-        from .cache import ImageCache
-        image_cache = ImageCache(float(cfg.DATASET.CACHE_GB))
+        # one budget per dataset root, shared by the train and eval
+        # loaders of the run (overlapping splits de-duplicate)
+        from .cache import shared_cache
+        image_cache = shared_cache(cfg.DATASET.DATASET_DIR,
+                                   float(cfg.DATASET.CACHE_GB))
     if name.startswith("VOC"):
         dataset = VOCDetection(cfg.DATASET.DATASET_DIR, sets,
                                image_cache=image_cache)

@@ -193,16 +193,36 @@ def test_image_cache_exact_and_isolated(voc_root):
     np.testing.assert_array_equal(ds[0]["image"], direct)
 
 
-def test_image_cache_budget_stops_inserting(voc_root):
+def test_image_cache_budget_skips_not_latches(voc_root):
+    """An insert over budget is skipped, but later images that fit
+    still cache (no terminal 'full' latch)."""
     from odtpu.data.cache import ImageCache
 
     root, _ = voc_root
     tiny = ImageCache(max_gb=1e-9)  # fits nothing
     ds = VOCDetection(root, (("2007", "test"),), image_cache=tiny)
     a = ds[0]["image"]
-    assert tiny.stats()["images"] == 0 and tiny.stats()["full"]
+    assert tiny.stats()["images"] == 0 and tiny.stats()["refused"] == 1
     b = ds[0]["image"]  # still served, straight from disk
     np.testing.assert_array_equal(a, b)
+
+    one = ImageCache(max_gb=0.0)
+    one.max_bytes = a.nbytes  # room for exactly one image
+    ds2 = VOCDetection(root, (("2007", "test"),), image_cache=one)
+    ds2[0]["image"]
+    assert one.stats()["images"] == 1
+    ds2[1]["image"]  # over budget: refused...
+    assert one.stats()["images"] == 1 and one.stats()["refused"] >= 1
+    np.testing.assert_array_equal(ds2[0]["image"], a)  # ...hit still live
+
+
+def test_shared_cache_per_dataset_root(voc_root):
+    from odtpu.data.cache import shared_cache
+
+    root, _ = voc_root
+    a = shared_cache(root, 1.0)
+    b = shared_cache(root + "/", 2.0)  # same root normalized
+    assert a is b  # one budget for train+eval loaders of a run
 
 
 def test_dataset_factory_cache_flag(voc_root):
