@@ -1,0 +1,84 @@
+"""AOT export artifact (tools/export_model.py): the serialized
+StableHLO module + flat weights must reproduce the live eval pipeline
+exactly, and load back without the model zoo or the config system."""
+
+import json
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odtpu.models import init_model, model_factory
+from odtpu.ops.detect import detect_out_compact
+from odtpu.utils.config import default_cfg
+from tools.export_model import export_artifact, load_artifact
+
+
+def _tiny_cfg():
+    cfg = default_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATASET.IMAGE_SIZE = (64, 64)
+    cfg.MODEL.IMAGE_SIZE = (64, 64)
+    cfg.MODEL.STEPS = [8, 16, 32, 64]
+    cfg.MODEL.MIN_SIZES = [12, 24, 40, 56]
+    cfg.MODEL.MAX_SIZES = [24, 40, 56, 64]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2], [2], [2]]
+    cfg.MODEL.EXTRAS = [64, "S", 128, 64, "S", 128]
+    return cfg
+
+
+def test_export_roundtrip_matches_live_pipeline(tmp_path, rng):
+    cfg = _tiny_cfg()
+    art = str(tmp_path / "tiny.odtpux")
+    meta = export_artifact(art, batch=2, cfg=cfg)
+    assert meta["num_weights"] > 0
+    assert meta["image_size"] == [64, 64]
+
+    call, meta2 = load_artifact(art)
+    assert meta2["model"] == meta["model"]
+    x = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    got = call(x)
+    assert got.shape == (2, cfg.EVAL.TOP_K, 6)
+
+    # live pipeline with the same (deterministic) init
+    model, priors, _ = model_factory("eval", cfg)
+    variables = init_model(model, cfg)
+    mean = np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32)
+
+    @jax.jit
+    def live(vs, xb):
+        xf = xb.astype(jnp.float32) - mean
+        xf = xf[..., ::-1]
+        loc, conf = model.apply(vs, xf, phase="eval", train=False)
+        return detect_out_compact(loc, conf, jnp.asarray(priors),
+                                  tuple(cfg.MODEL.VARIANCE),
+                                  conf_thresh=cfg.EVAL.CONF_THRESH,
+                                  nms_thresh=cfg.EVAL.NMS_THRESH,
+                                  top_k=cfg.EVAL.TOP_K, impl="lax")
+
+    want = np.asarray(live(variables, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_is_self_describing(tmp_path):
+    cfg = _tiny_cfg()
+    art = str(tmp_path / "tiny.odtpux")
+    export_artifact(art, batch=1, cfg=cfg)
+    with zipfile.ZipFile(art) as z:
+        names = set(z.namelist())
+        assert {"meta.json", "module.bin", "weights.npz"} <= names
+        meta = json.loads(z.read("meta.json"))
+    assert meta["platforms"] == ["cpu", "tpu"]
+    assert len(meta["class_names"]) == cfg.DATASET.NUM_CLASSES
+
+    call, meta = load_artifact(art)
+    # wrong input shape is a clear error, not silent misbehavior
+    try:
+        call(np.zeros((1, 32, 32, 3), np.uint8))
+    except ValueError as e:
+        assert "shape" in str(e)
+    else:
+        raise AssertionError("shape mismatch not rejected")
+    out = call(np.zeros((1, 64, 64, 3), np.uint8))
+    assert np.isfinite(out).all()
