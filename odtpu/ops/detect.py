@@ -84,9 +84,13 @@ def _per_class_nms(decoded: Array, conf_fg: Array, conf_thresh: float,
     mask on the score column (see per_class_nms_pallas)."""
     resolved = _resolve_impl(impl)
     B, Cf = decoded.shape[0], conf_fg.shape[-1]
-    small = B * Cf < _PALLAS_MIN_SETS
-    if resolved == "pallas" and small and impl == "auto":
-        resolved = "lax"  # measured-latency routing (see boundary note)
+    if resolved == "pallas":
+        # evaluated only on the pallas path: B may be a symbolic dim
+        # under jax.export shape polymorphism (lax path is polymorphic;
+        # the kernel grid is not), and `B*Cf < k` on a symbolic B raises
+        small = B * Cf < _PALLAS_MIN_SETS
+        if small and impl == "auto":
+            resolved = "lax"  # measured-latency routing (boundary note)
     if resolved == "pallas":
         from .pallas.nms_kernel import per_class_nms_pallas
         pad_b = 0

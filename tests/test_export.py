@@ -61,6 +61,23 @@ def test_export_roundtrip_matches_live_pipeline(tmp_path, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_export_polymorphic_batch(tmp_path, rng):
+    cfg = _tiny_cfg()
+    art = str(tmp_path / "poly.odtpux")
+    meta = export_artifact(art, batch=0, cfg=cfg)
+    assert meta["batch"] == 0
+    call, _ = load_artifact(art)
+    # one artifact serves several batch sizes; rows agree with a
+    # per-batch re-export at the same weights
+    fixed = str(tmp_path / "b3.odtpux")
+    export_artifact(fixed, batch=3, cfg=cfg)
+    call3, _ = load_artifact(fixed)
+    x1 = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    x3 = rng.randint(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    assert call(x1).shape == (1, cfg.EVAL.TOP_K, 6)
+    np.testing.assert_allclose(call(x3), call3(x3), rtol=1e-5, atol=1e-6)
+
+
 def test_artifact_is_self_describing(tmp_path):
     cfg = _tiny_cfg()
     art = str(tmp_path / "tiny.odtpux")

@@ -21,7 +21,7 @@ Usage:
     # export (randomly-initialized unless --ckpt is given)
     python tools/export_model.py export --out ssd300.odtpux \
         [--cfg cfgs/base/ssd_vgg16_voc.yml] [--ckpt weights/.../ckpt|.npz] \
-        [--batch 1]
+        [--batch 1]          # --batch 0 = shape-polymorphic (any batch)
 
     # run the artifact on an image, no framework code involved
     python tools/export_model.py run --artifact ssd300.odtpux \
@@ -86,7 +86,10 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
                                   top_k=cfg.EVAL.TOP_K, impl="lax")
 
     ws_spec = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
-    x_spec = jax.ShapeDtypeStruct((batch, ih, iw, 3), jnp.uint8)
+    # batch=0 -> shape-polymorphic artifact: one module serves any
+    # batch size (the lax NMS path is fully polymorphic in B)
+    bdim = jexport.symbolic_shape("b")[0] if batch == 0 else batch
+    x_spec = jax.ShapeDtypeStruct((bdim, ih, iw, 3), jnp.uint8)
     exp = jexport.export(jax.jit(infer), platforms=("cpu", "tpu"))(
         ws_spec, x_spec)
 
@@ -134,8 +137,11 @@ def load_artifact(path):
 
     def call(x_u8):
         x_u8 = np.asarray(x_u8, np.uint8)
-        want = tuple([meta["batch"]] + meta["image_size"] + [3])
-        if x_u8.shape != want:
+        b = meta["batch"] or "any"
+        want = tuple([b] + meta["image_size"] + [3])
+        ok = (x_u8.ndim == 4 and x_u8.shape[1:] == want[1:]
+              and (meta["batch"] == 0 or x_u8.shape[0] == meta["batch"]))
+        if not ok:
             raise ValueError("input shape {} != exported {}".format(
                 x_u8.shape, want))
         return np.asarray(exp.call(ws, x_u8))
