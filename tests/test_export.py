@@ -61,6 +61,34 @@ def test_export_roundtrip_matches_live_pipeline(tmp_path, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_export_batchnorm_model(tmp_path):
+    """BN-carrying models (drn_d_22 base) serialize too: the flat-leaf
+    convention covers every variable collection, and eval-mode apply
+    bakes the running stats into the graph."""
+    cfg = _tiny_cfg()
+    cfg.MODEL.BASE = "drn_d_22"
+    art = str(tmp_path / "drn.odtpux")
+    meta = export_artifact(art, batch=1, cfg=cfg)
+    call, _ = load_artifact(art)
+    x = np.full((1, 64, 64, 3), 127, np.uint8)
+    out = call(x)
+    assert out.shape == (1, cfg.EVAL.TOP_K, 6)
+    assert meta["model"].endswith("drn_d_22")
+    # fidelity vs the live pipeline (random-init BN decodes can overflow
+    # to inf — irrelevant here; the artifact must match, not be finite)
+    model, priors, _ = model_factory("eval", cfg)
+    variables = init_model(model, cfg)
+    mean = np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32)
+    xf = (x.astype(np.float32) - mean)[..., ::-1]
+    loc, conf = model.apply(variables, jnp.asarray(xf), phase="eval",
+                            train=False)
+    want = np.asarray(detect_out_compact(
+        loc, conf, jnp.asarray(priors), tuple(cfg.MODEL.VARIANCE),
+        conf_thresh=cfg.EVAL.CONF_THRESH, nms_thresh=cfg.EVAL.NMS_THRESH,
+        top_k=cfg.EVAL.TOP_K, impl="lax"))
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
 def test_export_polymorphic_batch(tmp_path, rng):
     cfg = _tiny_cfg()
     art = str(tmp_path / "poly.odtpux")
