@@ -277,18 +277,33 @@ def worker(mode, extras):
         # the parent's worker timeout, the parent recovers this line
         # from the killed worker's partial stdout
         print(json.dumps(result), flush=True)
+
+        def _land(partial):
+            # re-print the (growing) result after EVERY completed extra:
+            # the parent keeps the last parseable line, so extras that
+            # finished before a mid-phase kill still reach the driver
+            extra.update(partial)
+            print(json.dumps(result), flush=True)
+
         extra.update(_extras(cfg, model, variables, priors_d, mean_dev,
-                             variances, raw, infer, infer_fn))
+                             variances, raw, infer, infer_fn,
+                             on_update=_land))
     print(json.dumps(result))
 
 
 def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
-            infer, infer_fn):
+            infer, infer_fn, on_update=None):
     """B=1 serving latency + train throughput, each under a deadline so
-    a wedging tunnel can't stop the worker's primary JSON."""
+    a wedging tunnel can't stop the worker's primary JSON. ``on_update``
+    (if given) is called with the partial dict after each extra lands so
+    the caller can persist progress before a possible kill."""
     import signal
 
     out = {}
+
+    def _landed():
+        if on_update:
+            on_update(dict(out))
 
     class _Timeout(Exception):
         pass
@@ -365,11 +380,13 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
     except Exception as e:
         out["p50_latency_ms_b1"] = "skipped: {}: {}".format(
             type(e).__name__, str(e)[:160].replace("\n", " "))
+    _landed()
     try:
         out["onchip_ms_b1"] = _with_deadline(_b1_onchip, 120)
     except Exception as e:
         out["onchip_ms_b1"] = "skipped: {}: {}".format(
             type(e).__name__, str(e)[:160].replace("\n", " "))
+    _landed()
 
     def _b32_onchip_ips():
         # RTT-free on-chip B=32 eval throughput: the sustained rate of
@@ -382,16 +399,21 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
         ms = _chained_ms(xb, n_chain=10)
         return round(len(raw) / ms * 1000, 1)
 
-    try:
-        out["onchip_ips_b32"] = _with_deadline(_b32_onchip_ips, 150)
-    except Exception as e:
-        out["onchip_ips_b32"] = "skipped: {}: {}".format(
-            type(e).__name__, str(e)[:160].replace("\n", " "))
+    # train throughput BEFORE the on-chip B=32 extra: the worker window
+    # is budget-capped and kills extras tail-first, and onchip_ips_b32
+    # is the most redundant with the primary metric — the unique train
+    # number must not be the one that gets truncated
     try:
         out["train_img_per_sec"] = _with_deadline(
             lambda: round(_train_throughput(cfg), 1), 240)
     except Exception as e:
         out["train_img_per_sec"] = "skipped: {}: {}".format(
+            type(e).__name__, str(e)[:160].replace("\n", " "))
+    _landed()
+    try:
+        out["onchip_ips_b32"] = _with_deadline(_b32_onchip_ips, 150)
+    except Exception as e:
+        out["onchip_ips_b32"] = "skipped: {}: {}".format(
             type(e).__name__, str(e)[:160].replace("\n", " "))
     return out
 

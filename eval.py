@@ -16,8 +16,10 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="odtpu evaluation")
-    p.add_argument("--cfg_name", default="ssd_vgg16_voc")
-    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg_name", default="",
+                   help="default ssd_vgg16_voc; with --cfg, derived "
+                        "from the yaml path unless given explicitly")
+    p.add_argument("--job_group", default="", help="default: base")
     p.add_argument("--cfg", default="")
     p.add_argument("--ckpt", required=False, default="",
                    help="checkpoint dir (weights/<group>/<name>/ckpt by "
@@ -38,7 +40,6 @@ def main(argv=None):
     from odtpu.models import model_factory
     from odtpu.parallel import (create_train_state, make_eval_step,
                                 make_mesh)
-    from odtpu.utils.checkpoint import Checkpointer
     from odtpu.utils.config import load_cfg
 
     from odtpu.utils.config import resolve_cfg_args
@@ -70,22 +71,19 @@ def main(argv=None):
                                          args.job_group, args.cfg_name,
                                          "ckpt")
         if osp.isdir(ckpt_dir):
-            # partial restore: eval needs params/batch_stats/step only.
-            # Restoring the full TrainState would tie eval to the saving
-            # run's optimizer chain (e.g. a grad-clip stage changes the
-            # opt_state pytree and the restore template would mismatch).
+            # shared partial-restore protocol (checkpoint.py): eval
+            # needs params/batch_stats/step only, never the opt chain
             from odtpu.parallel.mesh import shard_params
-            template = {"step": np.zeros((), np.int32),
-                        "params": jax.device_get(state.params)}
-            if state.batch_stats:
-                template["batch_stats"] = jax.device_get(state.batch_stats)
-            restored = Checkpointer(ckpt_dir).restore(template, partial=True)
+            from odtpu.utils.checkpoint import restore_partial
+            step, params, batch_stats = restore_partial(
+                ckpt_dir, jax.device_get(state.params),
+                jax.device_get(state.batch_stats)
+                if state.batch_stats else None)
             state = state.replace(
-                step=restored["step"],
-                params=shard_params(restored["params"], mesh),
-                batch_stats=(shard_params(restored["batch_stats"], mesh)
-                             if restored.get("batch_stats") else
-                             state.batch_stats))
+                step=step,
+                params=shard_params(params, mesh),
+                batch_stats=(shard_params(batch_stats, mesh)
+                             if batch_stats else state.batch_stats))
             print("restored step", int(np.asarray(state.step)))
         else:
             print("WARNING: no checkpoint at {}; evaluating random init"

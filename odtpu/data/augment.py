@@ -211,8 +211,12 @@ def sample_expand_crop_geometry(shape_hw, boxes, labels, rng, max_ratio=4.0,
     virtual canvas (the input pasted at ``(top, left)`` on an infinite
     mean-colored background) and ``boxes`` are absolute coords inside
     that window. Callers compose the pixels once, via _compose_crop or
-    the native fused sampler (odtpu.data._native)."""
+    the native fused sampler (odtpu.data._native). The returned boxes
+    never alias the input array (callers mutate them in place for the
+    flip/normalize steps)."""
     h, w = shape_hw
+    if boxes is not None:
+        boxes = boxes.copy()
     if rng.integers(2):
         top = left = 0
         eh, ew = h, w
@@ -221,7 +225,6 @@ def sample_expand_crop_geometry(shape_hw, boxes, labels, rng, max_ratio=4.0,
         left = int(rng.uniform(0.0, w * ratio - w))
         top = int(rng.uniform(0.0, h * ratio - h))
         eh, ew = int(h * ratio), int(w * ratio)
-        boxes = boxes.copy()
         boxes[:, 0::2] += left
         boxes[:, 1::2] += top
     mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]

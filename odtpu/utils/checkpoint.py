@@ -69,6 +69,22 @@ class Checkpointer:
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def restore_partial(ckpt_dir, params, batch_stats=None):
+    """Partial restore of the eval-relevant TrainState fields against
+    host templates — the ONE place that defines the on-disk layout of a
+    step/params/batch_stats subset restore (eval.py and
+    restore_eval_variables both speak this protocol; restoring the full
+    TrainState instead would tie eval to the saving run's optimizer
+    chain). Returns ``(step, params, batch_stats_or_None)``.
+    """
+    template = {"step": np.zeros((), np.int32), "params": params}
+    if batch_stats:
+        template["batch_stats"] = batch_stats
+    restored = Checkpointer(ckpt_dir).restore(template, partial=True)
+    return (restored["step"], restored["params"],
+            restored.get("batch_stats") or None)
+
+
 def restore_eval_variables(model, cfg, path=""):
     """Eval-time weight resolution shared by the demos and the serving
     endpoint: `path` may be an orbax checkpoint directory, a converted
@@ -108,16 +124,12 @@ def restore_eval_variables(model, cfg, path=""):
         # omitting opt_state also makes eval independent of the saving
         # run's optimizer chain (a checkpoint written with grad-clip on
         # previously failed to restore against a clipless template)
-        template = {"step": np.zeros((), np.int32),
-                    "params": variables["params"]}
-        if "batch_stats" in variables:
-            template["batch_stats"] = variables["batch_stats"]
-        restored = Checkpointer(path).restore(template, partial=True)
-        variables = {"params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
-        print("restored checkpoint step",
-              int(np.asarray(restored["step"])))
+        step, params, batch_stats = restore_partial(
+            path, variables["params"], variables.get("batch_stats"))
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        print("restored checkpoint step", int(np.asarray(step)))
     else:
         print("WARNING: no checkpoint at {!r}; using random init"
               .format(path))

@@ -202,21 +202,29 @@ def load_cfg(cfg_filename=None):
 def resolve_cfg_args(args):
     """Resolve the CLI's config path and run naming.
 
-    With an explicit ``--cfg path``, cfg_name/job_group are derived from
-    the yaml path (``cfgs/<group>/<name>.yml`` -> group/name) so such
-    runs don't collide under the default cfg_name's weights/logs/history
-    dirs; otherwise the path is built from cfg_name/job_group (the
-    reference's setup_folder contract, lib/utils/utils.py:67-79).
-    Mutates ``args`` in place and returns the cfg path.
+    With an explicit ``--cfg path``, cfg_name/job_group default to
+    values derived from the yaml path (``cfgs/<group>/<name>.yml`` ->
+    group/name) so such runs don't collide under the default cfg_name's
+    weights/logs/history dirs — but an explicitly passed --cfg_name or
+    --job_group (non-empty) always wins, so a user can point eval at a
+    run directory named before this derivation existed. Without --cfg
+    the path is built from cfg_name/job_group (the reference's
+    setup_folder contract, lib/utils/utils.py:67-79). CLI parsers pass
+    "" as the not-set sentinel. Mutates ``args`` in place and returns
+    the cfg path.
     """
     import os.path as osp
     if getattr(args, "cfg", None):
         cfg_path = args.cfg
-        args.cfg_name = osp.splitext(osp.basename(cfg_path))[0]
-        parent = osp.basename(osp.dirname(osp.abspath(cfg_path)))
-        if parent and parent != "cfgs":
-            args.job_group = parent
+        if not getattr(args, "cfg_name", ""):
+            args.cfg_name = osp.splitext(osp.basename(cfg_path))[0]
+        if not getattr(args, "job_group", ""):
+            parent = osp.basename(osp.dirname(osp.abspath(cfg_path)))
+            args.job_group = (parent if parent and parent != "cfgs"
+                              else "base")
         return cfg_path
+    args.cfg_name = getattr(args, "cfg_name", "") or "ssd_vgg16_voc"
+    args.job_group = getattr(args, "job_group", "") or "base"
     return osp.join("cfgs", args.job_group, args.cfg_name + ".yml")
 
 

@@ -120,10 +120,20 @@ def test_resolve_cfg_args_naming():
     from odtpu.utils.config import resolve_cfg_args
 
     a = argparse.Namespace(cfg="cfgs/tests/refinedet_synth.yml",
-                           cfg_name="ssd_vgg16_voc", job_group="base")
+                           cfg_name="", job_group="")
     assert resolve_cfg_args(a) == "cfgs/tests/refinedet_synth.yml"
     assert a.cfg_name == "refinedet_synth"
     assert a.job_group == "tests"
     b = argparse.Namespace(cfg=None, cfg_name="x", job_group="g")
     assert resolve_cfg_args(b) == "cfgs/g/x.yml"
     assert (b.cfg_name, b.job_group) == ("x", "g")
+    # explicit names win over the path derivation (so eval can target a
+    # run dir named before/differently from the yaml path)
+    c = argparse.Namespace(cfg="cfgs/tests/refinedet_synth.yml",
+                           cfg_name="old_run", job_group="base")
+    assert resolve_cfg_args(c) == "cfgs/tests/refinedet_synth.yml"
+    assert (c.cfg_name, c.job_group) == ("old_run", "base")
+    # no --cfg, sentinel names -> reference defaults
+    d = argparse.Namespace(cfg="", cfg_name="", job_group="")
+    assert resolve_cfg_args(d) == "cfgs/base/ssd_vgg16_voc.yml"
+    assert (d.cfg_name, d.job_group) == ("ssd_vgg16_voc", "base")

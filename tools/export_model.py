@@ -57,8 +57,12 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
     from odtpu.utils.config import load_cfg
 
     if cfg is None:
-        cfg = load_cfg(cfg_path if cfg_path and osp.isfile(cfg_path)
-                       else None)
+        if cfg_path and not osp.isfile(cfg_path):
+            # a deployment artifact built from the wrong config is a
+            # silent disaster — unlike train.py's interactive default
+            # fallback, a missing path here is always an error
+            raise FileNotFoundError("config not found: " + cfg_path)
+        cfg = load_cfg(cfg_path or None)
     model, priors, _ = model_factory("eval", cfg)
     variables = restore_eval_variables(model, cfg, ckpt)
 
@@ -187,7 +191,10 @@ def main():
     names = meta["class_names"]
     out = []
     for score, x1, y1, x2, y2, cls in det:
-        if score < args.conf:
+        # cls 0 rows are the fixed-shape output's zero padding (and
+        # score 0 can't pass a real conf gate) — drop them even when
+        # --conf 0, else they'd mislabel as names[-1]
+        if score <= 0 or int(cls) < 1 or score < args.conf:
             continue
         out.append({"class": names[int(cls) - 1], "score": round(
             float(score), 4), "box": [round(float(x1 * w), 1),

@@ -33,8 +33,9 @@ def main():
     ips = [e.value for t in tags if t == "train/img_per_sec"
            for e in ea.Scalars(t)]
 
+    first = min(loss) if loss else None
     steps = sorted(set(s for s in loss if s % args.every == 0
-                       or s == min(loss)) | set(maps))
+                       or s == first) | set(maps))
     print("| iter | train loss | held-out mAP@0.5 |")
     print("|---|---|---|")
     for s in steps:

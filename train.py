@@ -25,11 +25,13 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="odtpu training")
-    p.add_argument("--cfg_name", default="ssd_vgg16_voc",
-                   help="yaml name under cfgs/<job_group>/")
-    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg_name", default="",
+                   help="yaml name under cfgs/<job_group>/ "
+                        "(default ssd_vgg16_voc)")
+    p.add_argument("--job_group", default="", help="default: base")
     p.add_argument("--cfg", default="", help="explicit yaml path "
-                   "(overrides cfg_name/job_group)")
+                   "(run naming derives from it unless "
+                   "--cfg_name/--job_group are also given)")
     p.add_argument("--resume", default="", help="checkpoint dir to resume")
     p.add_argument("--basenet", default="",
                    help="converted backbone weights .npz")

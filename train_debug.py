@@ -16,8 +16,8 @@ def main(argv=None):
     from odtpu.utils.platform import apply_platform_env
     apply_platform_env()
     p = argparse.ArgumentParser()
-    p.add_argument("--cfg_name", default="ssd_vgg16_voc")
-    p.add_argument("--job_group", default="base")
+    p.add_argument("--cfg_name", default="")
+    p.add_argument("--job_group", default="")
     p.add_argument("--cfg", default="")
     args = p.parse_args(argv)
 
