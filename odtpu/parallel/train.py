@@ -27,7 +27,8 @@ import numpy as np
 import optax
 
 from ..layers.losses import multibox_loss
-from .mesh import batch_sharding, param_shardings, replicated
+from .mesh import (batch_sharding, image_sharding, param_shardings,
+                   replicated)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -200,7 +201,8 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
         b_sh = batch_sharding(mesh)
         jitted = jax.jit(
             step,
-            in_shardings=(None, replicated(mesh), b_sh, b_sh, b_sh),
+            in_shardings=(None, replicated(mesh), image_sharding(mesh),
+                          b_sh, b_sh),
             donate_argnums=(0,) if donate else (),
         )
         priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
@@ -322,7 +324,8 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
 
     b_sh = batch_sharding(mesh)
     jitted = jax.jit(step,
-                     in_shardings=(None, None, replicated(mesh), b_sh),
+                     in_shardings=(None, None, replicated(mesh),
+                                   image_sharding(mesh)),
                      out_shardings=b_sh)
     priors_dev = jax.device_put(jnp.asarray(priors), replicated(mesh))
 

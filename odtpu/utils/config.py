@@ -59,6 +59,11 @@ def default_cfg() -> AttrDict:
     # mesh axis sizes; -1 on DATA = use all remaining devices
     C.TPU.MESH_DATA = -1
     C.TPU.MESH_MODEL = 1
+    # spatial partitioning: shard the image H axis over this many
+    # devices (GSPMD inserts conv halo exchanges); for large-image /
+    # small-batch regimes (e.g. SSD512) where batch parallelism alone
+    # can't fill a slice. Input H must be divisible by it.
+    C.TPU.MESH_SPATIAL = 1
     # remat (rematerialize backbone activations to trade FLOPs for HBM)
     C.TPU.REMAT = False
 

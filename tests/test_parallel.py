@@ -92,7 +92,8 @@ def test_tensor_parallel_mesh(rng):
     for dm in ((8, 1), (2, 4)):
         cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL = dm
         mesh = make_mesh(cfg)
-        assert dict(mesh.shape) == {"data": dm[0], "model": dm[1]}
+        assert dict(mesh.shape) == {"data": dm[0], "model": dm[1],
+                                    "spatial": 1}
         state, tx = create_train_state(model, cfg,
                                        rng=jax.random.PRNGKey(3), mesh=mesh)
         step = make_train_step(model, priors, cfg, tx, mesh=mesh,
@@ -101,6 +102,41 @@ def test_tensor_parallel_mesh(rng):
         new_state, metrics = step(state, *batch)
         results[dm] = float(metrics["loss"])
     np.testing.assert_allclose(results[(8, 1)], results[(2, 4)], rtol=1e-4)
+
+
+def test_spatial_partitioning_mesh(rng):
+    """GSPMD spatial partitioning: sharding the image H axis over a
+    'spatial' mesh axis (XLA inserts the conv halo exchanges) leaves the
+    train-step loss identical to the pure-DP layout — the large-image /
+    small-batch scaling mode SSD512 would use on a real slice."""
+    cfg = tiny_cfg()
+    model, priors, _ = model_factory("train", cfg)
+    images, boxes, labels = _batch(rng, 8, 64)
+
+    results = {}
+    for dms in ((8, 1, 1), (2, 2, 2), (4, 1, 2)):
+        (cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL,
+         cfg.TPU.MESH_SPATIAL) = dms
+        mesh = make_mesh(cfg)
+        assert dict(mesh.shape) == {"data": dms[0], "model": dms[1],
+                                    "spatial": dms[2]}
+        state, tx = create_train_state(model, cfg,
+                                       rng=jax.random.PRNGKey(3), mesh=mesh)
+        step = make_train_step(model, priors, cfg, tx, mesh=mesh,
+                               donate=False)
+        batch = shard_batch((images, boxes, labels), mesh)
+        img_sh = batch[0].sharding.spec
+        assert tuple(img_sh)[:2] == ("data", "spatial")
+        _, metrics = step(state, *batch)
+        from odtpu.parallel import make_eval_step
+        rows = np.asarray(make_eval_step(model, priors, cfg, mesh=mesh)(
+            state.params, state.batch_stats, batch[0])["rows"])
+        results[dms] = (float(metrics["loss"]), rows)
+    for dms in ((2, 2, 2), (4, 1, 2)):
+        np.testing.assert_allclose(results[(8, 1, 1)][0], results[dms][0],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(results[(8, 1, 1)][1], results[dms][1],
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_sgd_matches_torch_semantics():
