@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--model_npz", default="",
                    help="converted reference model .npz "
                         "(tools/convert_torch_weights.py --mode ssd)")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="quantized serving compute (overrides TPU.QUANT); "
+                        "'int8' runs convs on the s8 MXU path")
     return p.parse_args(argv)
 
 
@@ -45,6 +48,8 @@ def main(argv=None):
     from odtpu.utils.config import resolve_cfg_args
     cfg_path = resolve_cfg_args(args)
     cfg = load_cfg(cfg_path if osp.isfile(cfg_path) else None)
+    if args.quant:
+        cfg.TPU.QUANT = args.quant
     mesh = make_mesh(cfg)
 
     loader = dataset_factory("eval", cfg)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -9,6 +10,64 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# --- int8 serving mode ----------------------------------------------------
+# Every conv in every model family flows through `Conv.__call__` below, so
+# quantized inference needs exactly one switch point. The mode is a
+# TRACE-time flag: step builders (odtpu/parallel/train.py make_eval_step)
+# enter `quantized(cfg.TPU.QUANT)` around `model.apply` inside the step
+# function itself, so whenever jit traces that step the flag is active and
+# baked into the compiled graph; each builder closes over its own mode so
+# two steps with different modes can never share a trace.
+_QUANT_MODE = ""
+
+
+@contextlib.contextmanager
+def quantized(mode: str):
+    """Enable quantized conv compute ("int8") while tracing model.apply."""
+    global _QUANT_MODE
+    if mode and mode != "int8":
+        raise ValueError(f"unknown quant mode {mode!r} (expected 'int8')")
+    prev = _QUANT_MODE
+    _QUANT_MODE = mode or ""
+    try:
+        yield
+    finally:
+        _QUANT_MODE = prev
+
+
+class _QuantConv(nn.Module):
+    """Drop-in conv with int8 MXU compute (odtpu.ops.quant.conv_int8).
+
+    Declares the exact same param tree as `nn.Conv` (scope "conv" with
+    f32 "kernel" HWIO and optional "bias"), so checkpoints and converted
+    reference weights load identically with quantization on or off —
+    weights are (re)quantized in-graph per step, which is negligible VPU
+    work next to the 2x MXU saving.
+    """
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: Any
+    kernel_dilation: tuple
+    use_bias: bool
+    dtype: Any
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.quant import conv_int8
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        y = conv_int8(x, kernel, self.strides, self.padding,
+                      self.kernel_dilation, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class L2Norm(nn.Module):
@@ -75,6 +134,11 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     kernel_init: Any = nn.initializers.he_normal()
+    # opt-out for layers that must stay full-precision under
+    # `quantized("int8")`: the loc/conf heads set output precision
+    # directly and are a few % of FLOPs, so they opt out (ssd.py,
+    # refinedet.py); the backbone/extras carry the 2x MXU win
+    quantizable: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -84,12 +148,20 @@ class Conv(nn.Module):
             pad = self.padding
         else:
             pad = ((self.padding, self.padding), (self.padding, self.padding))
-        x = nn.Conv(self.features, k, strides=(self.stride, self.stride),
-                    padding=pad,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=self.use_bias and not self.batch_norm,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=self.kernel_init, name="conv")(x)
+        if _QUANT_MODE == "int8" and self.quantizable:
+            x = _QuantConv(self.features, kernel_size=k,
+                           strides=(self.stride, self.stride), padding=pad,
+                           kernel_dilation=(self.dilation, self.dilation),
+                           use_bias=self.use_bias and not self.batch_norm,
+                           dtype=self.dtype, kernel_init=self.kernel_init,
+                           name="conv")(x)
+        else:
+            x = nn.Conv(self.features, k, strides=(self.stride, self.stride),
+                        padding=pad,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=self.use_bias and not self.batch_norm,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=self.kernel_init, name="conv")(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,

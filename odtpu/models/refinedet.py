@@ -88,10 +88,10 @@ class RefineDet(nn.Module):
             b = s.shape[0]
             l = Conv(a * 4, kernel=3, padding=1, relu=False, dtype=d,
                      kernel_init=xavier_uniform(),
-                     name=f"arm_loc_{i}")(s)
+                     quantizable=False, name=f"arm_loc_{i}")(s)
             c = Conv(a * 2, kernel=3, padding=1, relu=False, dtype=d,
                      kernel_init=xavier_uniform(),
-                     name=f"arm_conf_{i}")(s)
+                     quantizable=False, name=f"arm_conf_{i}")(s)
             arm_loc.append(l.reshape(b, -1, 4))
             arm_conf.append(c.reshape(b, -1, 2))
         arm_loc = jnp.concatenate(arm_loc, 1).astype(jnp.float32)
@@ -112,10 +112,10 @@ class RefineDet(nn.Module):
             b = s.shape[0]
             l = Conv(a * 4, kernel=3, padding=1, relu=False, dtype=d,
                      kernel_init=xavier_uniform(),
-                     name=f"odm_loc_{i}")(s)
+                     quantizable=False, name=f"odm_loc_{i}")(s)
             c = Conv(a * self.num_classes, kernel=3, padding=1, relu=False,
                      dtype=d, kernel_init=xavier_uniform(),
-                     name=f"odm_conf_{i}")(s)
+                     quantizable=False, name=f"odm_conf_{i}")(s)
             odm_loc.append(l.reshape(b, -1, 4))
             odm_conf.append(c.reshape(b, -1, self.num_classes))
         odm_loc = jnp.concatenate(odm_loc, 1).astype(jnp.float32)

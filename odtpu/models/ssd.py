@@ -68,11 +68,15 @@ class MultiBoxHead(nn.Module):
         locs, confs = [], []
         for i, (src, a) in enumerate(zip(sources, self.num_priors)):
             b = src.shape[0]
+            # heads stay full-precision under quantized("int8"): they are
+            # a few % of model FLOPs but set loc/conf output precision
+            # directly (box IoU vs f32 degrades measurably if quantized)
             l = Conv(a * 4, kernel=3, padding=1, relu=False, dtype=self.dtype,
-                     kernel_init=xavier_uniform(), name=f"loc_{i}")(src)
+                     kernel_init=xavier_uniform(), quantizable=False,
+                     name=f"loc_{i}")(src)
             c = Conv(a * self.num_classes, kernel=3, padding=1, relu=False,
                      dtype=self.dtype, kernel_init=xavier_uniform(),
-                     name=f"conf_{i}")(src)
+                     quantizable=False, name=f"conf_{i}")(src)
             locs.append(l.reshape(b, -1, 4))
             confs.append(c.reshape(b, -1, self.num_classes))
         loc = jnp.concatenate(locs, axis=1).astype(jnp.float32)

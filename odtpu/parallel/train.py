@@ -241,6 +241,11 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
     is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
     if compact is None:
         compact = bool(cfg.EVAL.COMPACT)
+    # int8 serving mode: the context is entered INSIDE the step so it is
+    # active whenever jit traces it (models/common.py `quantized`); the
+    # mode is closed over per-builder, so steps with different modes are
+    # distinct function objects and can't share a trace.
+    quant = str(cfg.TPU.QUANT or "")
 
     pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
 
@@ -254,7 +259,9 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, images, phase="eval", train=False)
+        from ..models.common import quantized
+        with quantized(quant):
+            out = model.apply(variables, images, phase="eval", train=False)
         # under compact, skip the per-class survivors-first partition:
         # compact_rows re-ranks cross-class by score (bit-identical
         # rows — see detect_out_compact), and the self-audit's

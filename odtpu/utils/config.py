@@ -66,6 +66,11 @@ def default_cfg() -> AttrDict:
     C.TPU.MESH_SPATIAL = 1
     # remat (rematerialize backbone activations to trade FLOPs for HBM)
     C.TPU.REMAT = False
+    # quantized EVAL/serving compute: "" (off) or "int8" — dynamic
+    # per-image activation / per-channel weight quantization onto the
+    # s8 MXU path (~2x conv rate on v5e); training is unaffected, any
+    # f32 checkpoint serves quantized as-is (odtpu/ops/quant.py)
+    C.TPU.QUANT = ""
 
     # ---------------- Log ----------------
     C.LOG = AttrDict()

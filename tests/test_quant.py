@@ -1,0 +1,160 @@
+"""int8 dynamic-quantized serving path (odtpu/ops/quant.py + the
+`quantized("int8")` trace-time switch in odtpu/models/common.py).
+
+No reference analog (the torch reference is f32-only) — this is the
+beyond-parity TPU serving mode: s8 x s8 -> s32 convs on the MXU (~2x the
+bf16 rate on v5e), per-output-channel weight scales, per-IMAGE activation
+scales so detections never depend on batch composition. Checkpoints are
+unchanged: weights quantize in-graph.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odtpu.models import model_factory
+from odtpu.ops.quant import (conv_int8, quantize_act_int8,
+                             quantize_weight_int8)
+from odtpu.parallel import (create_train_state, make_eval_step, make_mesh,
+                            make_train_step, shard_batch)
+from odtpu.utils.config import default_cfg
+
+from test_bf16 import _one_box_batch, bf16_cfg
+
+
+def test_conv_int8_matches_integer_oracle(rng):
+    """conv_int8 == exact int64 numpy conv over the SAME quantized
+    operands, rescaled in f32 — the only approximation in the op is the
+    quantization rounding itself (integer accumulation is exact)."""
+    x = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32) * 3)
+    k = jnp.asarray(rng.randn(3, 3, 7, 5).astype(np.float32))
+    y = np.asarray(conv_int8(x, k, (1, 1), ((1, 1), (1, 1))))
+
+    x_q, s_x = map(np.asarray, quantize_act_int8(x))
+    w_q, s_w = map(np.asarray, quantize_weight_int8(k))
+    assert x_q.dtype == np.int8 and w_q.dtype == np.int8
+    assert np.abs(x_q).max() <= 127 and np.abs(w_q).max() <= 127
+    xp = np.pad(x_q.astype(np.int64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((2, 9, 9, 5), np.int64)
+    for i in range(9):
+        for j in range(9):
+            ref[:, i, j, :] = np.tensordot(
+                xp[:, i:i + 3, j:j + 3, :], w_q.astype(np.int64),
+                axes=([1, 2, 3], [0, 1, 2]))
+    expect = ref.astype(np.float32) * (s_x.astype(np.float32)
+                                       * s_w.astype(np.float32))
+    np.testing.assert_array_equal(y, expect)
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    """Dequantized activations are within half a quantization step of
+    the source (per image), and per-channel weight scales saturate at
+    exactly 127 on each channel's max."""
+    x = jnp.asarray(rng.randn(3, 8, 8, 16).astype(np.float32) * 10)
+    x_q, s_x = map(np.asarray, quantize_act_int8(x))
+    err = np.abs(x_q.astype(np.float32) * s_x - np.asarray(x))
+    assert (err <= 0.5 * s_x + 1e-6).all()
+    k = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))
+    w_q, s_w = map(np.asarray, quantize_weight_int8(k))
+    assert (np.abs(w_q).max(axis=(0, 1, 2)) == 127).all()
+
+
+def test_per_image_scales_batch_independent(rng):
+    """An image's quantized conv result is identical no matter what else
+    shares the batch (per-image scales; a per-tensor scale would couple
+    eval results to batch composition)."""
+    a = rng.randn(1, 8, 8, 4).astype(np.float32)
+    b = rng.randn(1, 8, 8, 4).astype(np.float32) * 100  # huge batchmate
+    k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    alone = np.asarray(conv_int8(jnp.asarray(a), k, (1, 1), "SAME"))
+    paired = np.asarray(conv_int8(jnp.asarray(np.concatenate([a, b])), k,
+                                  (1, 1), "SAME"))
+    np.testing.assert_array_equal(alone[0], paired[0])
+
+
+def test_param_tree_identical_under_quant(rng):
+    """`quantized("int8")` changes compute only: init produces the exact
+    same param tree (paths, shapes, dtypes) as the normal path, so any
+    checkpoint loads with quantization on or off."""
+    from odtpu.models.common import quantized
+    cfg = bf16_cfg()
+    model, priors, _ = model_factory("eval", cfg)
+    x = jnp.zeros((1,) + tuple(cfg.MODEL.IMAGE_SIZE) + (3,), jnp.float32)
+    plain = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    with quantized("int8"):
+        quant = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    flat_p = jax.tree_util.tree_flatten_with_path(plain)[0]
+    flat_q = jax.tree_util.tree_flatten_with_path(quant)[0]
+    assert [(p, v.shape, v.dtype) for p, v in flat_p] \
+        == [(p, v.shape, v.dtype) for p, v in flat_q]
+
+
+def test_int8_detect_matches_f32(rng):
+    """On a briefly-trained tiny SSD, the int8 eval step agrees with the
+    f32 step: same top-1 class per image, score within 0.05, top box IoU
+    >= 0.5. The IoU bar is deliberately loose: a 60-step toy model's loc
+    outputs decode through exp() with near-random magnitudes, amplifying
+    the ~1% int8 logit noise far beyond what a converged model sees (the
+    flagship-checkpoint measurement in BENCH_NOTES is the real mAP
+    evidence; this test pins class/score agreement and finiteness)."""
+    cfg32 = bf16_cfg()
+    cfg32.TPU.COMPUTE_DTYPE = "float32"
+    cfg32.TRAIN.OPTIMIZER.LR = 5e-4
+    cfg32.TRAIN.OPTIMIZER.CLIP_GRAD_NORM = 5.0
+    model32, priors, _ = model_factory("eval", cfg32)
+    mesh = make_mesh(cfg32, devices=jax.devices()[:1])
+    state, tx = create_train_state(model32, cfg32,
+                                   rng=jax.random.PRNGKey(2), mesh=mesh)
+    images_np, boxes, labels = _one_box_batch(rng, B=4)
+    step = make_train_step(model32, priors, cfg32, tx, mesh=mesh)
+    batch = shard_batch((images_np, boxes, labels), mesh)
+    for _ in range(60):
+        state, m = step(state, *batch)
+    assert np.isfinite(float(m["loss"]))
+
+    cfg_q = bf16_cfg()
+    cfg_q.TPU.COMPUTE_DTYPE = "float32"
+    cfg_q.TPU.QUANT = "int8"
+    model_q, priors_q, _ = model_factory("eval", cfg_q)
+    np.testing.assert_array_equal(np.asarray(priors), np.asarray(priors_q))
+
+    images = jnp.asarray(images_np)
+    out32 = make_eval_step(model32, priors, cfg32, mesh=mesh)(
+        state.params, state.batch_stats, images)
+    outq = make_eval_step(model_q, priors, cfg_q, mesh=mesh)(
+        state.params, state.batch_stats, images)
+    r32 = np.asarray(out32["rows"] if isinstance(out32, dict) else out32)
+    rq = np.asarray(outq["rows"] if isinstance(outq, dict) else outq)
+    assert r32.shape == rq.shape
+    assert np.isfinite(rq).all()
+
+    def _iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ar = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+        return inter / max(ar - inter, 1e-9)
+
+    for i in range(r32.shape[0]):
+        t32 = r32[i, np.argmax(r32[i, :, 0])]
+        tq = rq[i, np.argmax(rq[i, :, 0])]
+        assert t32[5] == tq[5], (t32, tq)          # same class
+        assert abs(t32[0] - tq[0]) < 0.05, (t32, tq)  # score
+        assert _iou(t32[1:5], tq[1:5]) >= 0.5, (t32, tq)
+
+
+def test_eval_step_quant_smoke_bf16_default(rng):
+    """cfg.TPU.QUANT='int8' on the shipped bf16 default config: the step
+    compiles, returns the standard compact structure, finite rows."""
+    cfg = bf16_cfg()
+    cfg.TPU.QUANT = "int8"
+    model, priors, _ = model_factory("eval", cfg)
+    mesh = make_mesh(cfg, devices=jax.devices()[:1])
+    state, _ = create_train_state(model, cfg, rng=jax.random.PRNGKey(1),
+                                  mesh=mesh)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255)
+    out = make_eval_step(model, priors, cfg, mesh=mesh)(
+        state.params, state.batch_stats, images)
+    rows = np.asarray(out["rows"] if isinstance(out, dict) else out)
+    assert rows.shape[0] == 2 and rows.shape[-1] == 6
+    assert np.isfinite(rows).all()

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--impl", default="auto", choices=["auto", "pallas",
                                                       "lax"])
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="run the forward in quantized serving mode")
     p.add_argument("--barrier", action="store_true",
                    help="optimization_barrier between forward and "
                         "detect in the chained fused measurement")
@@ -51,6 +53,11 @@ def main():
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)
+    from odtpu.models.common import quantized
+
+    def apply_eval(v, x):
+        with quantized(args.quant):
+            return model.apply(v, x, phase="eval", train=False)
     variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
     B = args.batch
     h, w = cfg.MODEL.IMAGE_SIZE
@@ -88,8 +95,7 @@ def main():
     rtt = timeit("noop (dispatch+sync RTT)",
                  jax.jit(lambda t: t + 1.0), tiny)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, phase="eval",
-                                           train=False))
+    fwd = jax.jit(apply_eval)
     loc, conf = fwd(variables, x)
     jnp.asarray(loc).block_until_ready()
 
@@ -110,8 +116,7 @@ def main():
                                              impl=args.impl))
     timeit("detect_out full", det, loc, conf, priors_d, calibration=rtt)
     full = jax.jit(lambda v, x, p: detect_out(
-        *model.apply(v, x, phase="eval", train=False), p, variances,
-        impl=args.impl))
+        *apply_eval(v, x), p, variances, impl=args.impl))
     timeit("forward+detect fused", full, variables, x, priors_d,
            calibration=rtt)
 
@@ -146,8 +151,7 @@ def main():
         from odtpu.ops.topk import top_k_exact
         Cf = conf.shape[-1] - 1
         chain_time("forward",
-                   lambda xc, v: jnp.sum(model.apply(
-                       v, xc, phase="eval", train=False)[0][:, 0, 0]),
+                   lambda xc, v: jnp.sum(apply_eval(v, xc)[0][:, 0, 0]),
                    x, variables)
         chain_time("decode",
                    lambda l, p: jnp.sum(
@@ -207,7 +211,7 @@ def main():
         def chained(v, x0, p):
             def body(i, carry):
                 xc, acc = carry
-                lc, cf = model.apply(v, xc, phase="eval", train=False)
+                lc, cf = apply_eval(v, xc)
                 if barrier:
                     # materialization boundary between forward and
                     # detect: isolates whether cross-fusion costs more
