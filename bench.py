@@ -114,7 +114,8 @@ def main():
                 extra_keep = {}
                 if best is not None:
                     for k in ("p50_latency_ms_b1", "onchip_ms_b1",
-                              "onchip_ips_b32", "train_img_per_sec"):
+                              "onchip_ips_b32", "train_img_per_sec",
+                              "int8_onchip_ips_b32"):
                         if k in best.get("extra", {}):
                             extra_keep[k] = best["extra"][k]
                 best = res
@@ -177,6 +178,22 @@ def worker(mode, extras):
         x = x_u8.astype(jnp.float32) - mean  # BGR means
         x = x[..., ::-1]  # BGR -> RGB
         loc, conf = model.apply(variables, x, phase="eval", train=False)
+        return detect_out_compact(
+            loc, conf, priors, variances,
+            conf_thresh=float(cfg.EVAL.CONF_THRESH),
+            nms_thresh=float(cfg.EVAL.NMS_THRESH),
+            top_k=int(cfg.EVAL.TOP_K))
+
+    def infer_fn_q(variables, priors, x_u8, mean):
+        # int8 serving mode (cfg.TPU.QUANT contract; odtpu/ops/quant.py):
+        # same pipeline with convs on the s8 MXU path — benched as an
+        # extra so the driver records the quantized headroom too
+        from odtpu.models.common import quantized
+        x = x_u8.astype(jnp.float32) - mean
+        x = x[..., ::-1]
+        with quantized("int8"):
+            loc, conf = model.apply(variables, x, phase="eval",
+                                    train=False)
         return detect_out_compact(
             loc, conf, priors, variances,
             conf_thresh=float(cfg.EVAL.CONF_THRESH),
@@ -287,12 +304,12 @@ def worker(mode, extras):
 
         extra.update(_extras(cfg, model, variables, priors_d, mean_dev,
                              variances, raw, infer, infer_fn,
-                             on_update=_land))
+                             infer_fn_q=infer_fn_q, on_update=_land))
     print(json.dumps(result))
 
 
 def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
-            infer, infer_fn, on_update=None):
+            infer, infer_fn, infer_fn_q=None, on_update=None):
     """B=1 serving latency + train throughput, each under a deadline so
     a wedging tunnel can't stop the worker's primary JSON. ``on_update``
     (if given) is called with the partial dict after each extra lands so
@@ -343,7 +360,7 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
             lat.append(time.time() - t1)
         return round(float(np.percentile(lat, 50) * 1000), 2)
 
-    def _chained_ms(batch_u8, n_chain, reps=3):
+    def _chained_ms(batch_u8, n_chain, reps=3, fn=None):
         # RTT-free on-chip time per pipeline iteration: chain n_chain
         # full iterations inside ONE jit (data dependence through the
         # carry prevents hoisting), so the ~30 ms tunnel round-trip
@@ -351,13 +368,14 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
         # same way)
         import jax
         import jax.numpy as jnp
+        body_fn = fn or infer_fn
 
         @jax.jit
         def chained(variables, priors, x0_u8, mean):
             def body(i, carry):
                 xc, acc = carry
-                out = infer_fn(variables, priors,
-                               xc.astype(jnp.uint8), mean)
+                out = body_fn(variables, priors,
+                              xc.astype(jnp.uint8), mean)
                 s = jnp.sum(out[:, 0, 0])
                 return xc + s * 1e-30, acc + s
             x0 = x0_u8.astype(jnp.float32)
@@ -415,6 +433,23 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
     except Exception as e:
         out["onchip_ips_b32"] = "skipped: {}: {}".format(
             type(e).__name__, str(e)[:160].replace("\n", " "))
+    _landed()
+
+    def _b32_int8_ips():
+        # quantized serving mode (TPU.QUANT='int8'): the s8 MXU path;
+        # last in the kill order — it's the newest/most optional number
+        import cv2
+        import numpy as np
+        xb = np.stack([cv2.resize(im, (300, 300)) for im in raw])
+        ms = _chained_ms(xb, n_chain=10, fn=infer_fn_q)
+        return round(len(raw) / ms * 1000, 1)
+
+    if infer_fn_q is not None:
+        try:
+            out["int8_onchip_ips_b32"] = _with_deadline(_b32_int8_ips, 180)
+        except Exception as e:
+            out["int8_onchip_ips_b32"] = "skipped: {}: {}".format(
+                type(e).__name__, str(e)[:160].replace("\n", " "))
     return out
 
 

@@ -127,3 +127,40 @@ def test_artifact_is_self_describing(tmp_path):
         raise AssertionError("shape mismatch not rejected")
     out = call(np.zeros((1, 64, 64, 3), np.uint8))
     assert np.isfinite(out).all()
+
+
+def test_export_int8_quantized_graph(tmp_path, rng):
+    """--quant int8 serializes the quantized eval graph itself (s8 convs
+    are plain StableHLO): the artifact reproduces the live int8 pipeline
+    exactly and records its mode in meta."""
+    from odtpu.models.common import quantized
+
+    cfg = _tiny_cfg()
+    art = str(tmp_path / "tiny_int8.odtpux")
+    meta = export_artifact(art, batch=2, cfg=cfg, quant="int8")
+    assert meta["quant"] == "int8"
+
+    call, _ = load_artifact(art)
+    x = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    got = call(x)
+    assert got.shape == (2, cfg.EVAL.TOP_K, 6)
+    assert np.isfinite(got).all()
+
+    model, priors, _ = model_factory("eval", cfg)
+    variables = init_model(model, cfg)
+    mean = np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32)
+
+    @jax.jit
+    def live(vs, xb):
+        xf = xb.astype(jnp.float32) - mean
+        xf = xf[..., ::-1]
+        with quantized("int8"):
+            loc, conf = model.apply(vs, xf, phase="eval", train=False)
+        return detect_out_compact(loc, conf, jnp.asarray(priors),
+                                  tuple(cfg.MODEL.VARIANCE),
+                                  conf_thresh=cfg.EVAL.CONF_THRESH,
+                                  nms_thresh=cfg.EVAL.NMS_THRESH,
+                                  top_k=cfg.EVAL.TOP_K, impl="lax")
+
+    want = np.asarray(live(variables, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

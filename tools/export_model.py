@@ -42,7 +42,8 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 FORMAT_VERSION = 1
 
 
-def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
+def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None,
+                    quant=""):
     """Build the fused eval step from a config (+ optional checkpoint)
     and serialize it to `out_path`. Returns the meta dict."""
     import jax
@@ -63,6 +64,8 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
             # fallback, a missing path here is always an error
             raise FileNotFoundError("config not found: " + cfg_path)
         cfg = load_cfg(cfg_path or None)
+    if quant:
+        cfg.TPU.QUANT = quant
     model, priors, _ = model_factory("eval", cfg)
     variables = restore_eval_variables(model, cfg, ckpt)
 
@@ -77,11 +80,17 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
     priors_c = jnp.asarray(priors)
     mean_c = jnp.asarray(np.asarray(cfg.DATASET.PIXEL_MEANS, np.float32))
 
+    from odtpu.models.common import quantized
+
     def infer(ws, x_u8):
         vs = jax.tree.unflatten(treedef, ws)
         x = x_u8.astype(jnp.float32) - mean_c
         x = x[..., ::-1]  # BGR input (cv2 convention) -> RGB
-        loc, conf = model.apply(vs, x, phase="eval", train=False)
+        # int8 mode serializes the quantized graph itself (s8 convs are
+        # plain StableHLO): the artifact then serves quantized on any
+        # backend, weights unchanged
+        with quantized(str(cfg.TPU.QUANT or "")):
+            loc, conf = model.apply(vs, x, phase="eval", train=False)
         # the lax NMS path lowers on any platform; the Pallas kernel is
         # a jit-time routing choice, not part of the portable graph
         return detect_out_compact(loc, conf, priors_c, variances,
@@ -108,6 +117,7 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None):
                   " zero-padded; coords normalized".format(
                       int(cfg.EVAL.TOP_K)),
         "num_weights": len(leaves),
+        "quant": str(cfg.TPU.QUANT or ""),
         "platforms": ["cpu", "tpu"],
         "class_names": (list(VOC_CLASSES) if n_cls == 20
                         else [str(i) for i in range(n_cls)]),
@@ -163,6 +173,8 @@ def main():
     pe.add_argument("--cfg", default="")
     pe.add_argument("--ckpt", default="")
     pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--quant", default="", choices=["", "int8"],
+                    help="serialize the int8-quantized eval graph")
     pr = sub.add_parser("run")
     pr.add_argument("--artifact", required=True)
     pr.add_argument("--image", required=True)
@@ -170,7 +182,8 @@ def main():
     args = p.parse_args()
 
     if args.cmd == "export":
-        meta = export_artifact(args.out, args.cfg, args.ckpt, args.batch)
+        meta = export_artifact(args.out, args.cfg, args.ckpt, args.batch,
+                               quant=args.quant)
         size_mb = osp.getsize(args.out) / 1e6
         print(json.dumps({"out": args.out, "size_mb": round(size_mb, 1),
                           **meta}, indent=1))

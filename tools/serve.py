@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 
-def build_engine(cfg_path="", ckpt=""):
+def build_engine(cfg_path="", ckpt="", quant=""):
     """-> (infer(np.uint8 HWC BGR image) -> list[dict], class_names)."""
     import cv2
     import jax
@@ -41,6 +41,8 @@ def build_engine(cfg_path="", ckpt=""):
     from odtpu.utils.config import load_cfg
 
     cfg = load_cfg(cfg_path if cfg_path and osp.isfile(cfg_path) else None)
+    if quant:
+        cfg.TPU.QUANT = quant
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)
@@ -54,11 +56,15 @@ def build_engine(cfg_path="", ckpt=""):
     variances = tuple(cfg.MODEL.VARIANCE)
     ih, iw = cfg.MODEL.IMAGE_SIZE
 
+    from odtpu.models.common import quantized
+
     @jax.jit
     def _infer(variables, priors, x_u8, mean):
         x = x_u8.astype(jnp.float32) - mean
         x = x[..., ::-1]
-        loc, conf = model.apply(variables, x, phase="eval", train=False)
+        with quantized(str(cfg.TPU.QUANT or "")):
+            loc, conf = model.apply(variables, x, phase="eval",
+                                    train=False)
         return detect_out_compact(loc, conf, priors, variances)
 
     names = list(VOC_CLASSES) if cfg.DATASET.NUM_CLASSES == 20 else \
@@ -95,13 +101,15 @@ def main():
     p.add_argument("--cfg", default="")
     p.add_argument("--ckpt", default="")
     p.add_argument("--conf", type=float, default=0.5)
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="quantized serving compute (overrides TPU.QUANT)")
     args = p.parse_args()
 
     import cv2
     import numpy as np
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
-    infer, _ = build_engine(args.cfg, args.ckpt)
+    infer, _ = build_engine(args.cfg, args.ckpt, quant=args.quant)
     default_conf = args.conf
 
     class Handler(BaseHTTPRequestHandler):
