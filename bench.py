@@ -186,19 +186,11 @@ def worker(mode, extras):
 
     def infer_fn_q(variables, priors, x_u8, mean):
         # int8 serving mode (cfg.TPU.QUANT contract; odtpu/ops/quant.py):
-        # same pipeline with convs on the s8 MXU path — benched as an
-        # extra so the driver records the quantized headroom too
+        # the SAME pipeline with convs on the s8 MXU path — the flag only
+        # affects Conv tracing, so wrapping keeps one pipeline definition
         from odtpu.models.common import quantized
-        x = x_u8.astype(jnp.float32) - mean
-        x = x[..., ::-1]
         with quantized("int8"):
-            loc, conf = model.apply(variables, x, phase="eval",
-                                    train=False)
-        return detect_out_compact(
-            loc, conf, priors, variances,
-            conf_thresh=float(cfg.EVAL.CONF_THRESH),
-            nms_thresh=float(cfg.EVAL.NMS_THRESH),
-            top_k=int(cfg.EVAL.TOP_K))
+            return infer_fn(variables, priors, x_u8, mean)
 
     infer = jax.jit(infer_fn)
 

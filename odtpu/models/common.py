@@ -70,6 +70,25 @@ class _QuantConv(nn.Module):
         return y
 
 
+def conv2d(x, features, kernel_size, strides, padding, kernel_dilation,
+           use_bias, dtype, name, kernel_init=None, quantizable=True):
+    """THE quant switch point: every conv in every family routes here
+    (via Conv below or rfbnet.BasicConv) so `quantized("int8")` has a
+    single dispatch to maintain."""
+    if kernel_init is None:
+        kernel_init = nn.linear.default_kernel_init
+    if _QUANT_MODE == "int8" and quantizable:
+        return _QuantConv(features, kernel_size=kernel_size,
+                          strides=strides, padding=padding,
+                          kernel_dilation=kernel_dilation,
+                          use_bias=use_bias, dtype=dtype,
+                          kernel_init=kernel_init, name=name)(x)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   kernel_dilation=kernel_dilation, use_bias=use_bias,
+                   dtype=dtype, param_dtype=jnp.float32,
+                   kernel_init=kernel_init, name=name)(x)
+
+
 class L2Norm(nn.Module):
     """Channelwise L2 normalization with a learnable per-channel scale.
 
@@ -148,20 +167,12 @@ class Conv(nn.Module):
             pad = self.padding
         else:
             pad = ((self.padding, self.padding), (self.padding, self.padding))
-        if _QUANT_MODE == "int8" and self.quantizable:
-            x = _QuantConv(self.features, kernel_size=k,
-                           strides=(self.stride, self.stride), padding=pad,
-                           kernel_dilation=(self.dilation, self.dilation),
-                           use_bias=self.use_bias and not self.batch_norm,
-                           dtype=self.dtype, kernel_init=self.kernel_init,
-                           name="conv")(x)
-        else:
-            x = nn.Conv(self.features, k, strides=(self.stride, self.stride),
-                        padding=pad,
-                        kernel_dilation=(self.dilation, self.dilation),
-                        use_bias=self.use_bias and not self.batch_norm,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=self.kernel_init, name="conv")(x)
+        x = conv2d(x, self.features, k, (self.stride, self.stride), pad,
+                   (self.dilation, self.dilation),
+                   use_bias=self.use_bias and not self.batch_norm,
+                   dtype=self.dtype, name="conv",
+                   kernel_init=self.kernel_init,
+                   quantizable=self.quantizable)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,

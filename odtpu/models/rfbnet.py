@@ -54,20 +54,11 @@ class BasicConv(nn.Module):
         p = self.padding
         pad = ((p, p), (p, p)) if isinstance(p, int) else \
             ((p[0], p[0]), (p[1], p[1]))
-        if common._QUANT_MODE == "int8":
-            x = common._QuantConv(
-                self.features, kernel_size=k,
-                strides=(self.stride, self.stride), padding=pad,
-                kernel_dilation=(self.dilation, self.dilation),
-                use_bias=not self.bn, dtype=self.dtype,
-                kernel_init=nn.linear.default_kernel_init,
-                name="conv")(x)
-        else:
-            x = nn.Conv(self.features, k, strides=(self.stride, self.stride),
-                        padding=pad,
-                        kernel_dilation=(self.dilation, self.dilation),
-                        use_bias=not self.bn, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="conv")(x)
+        x = common.conv2d(x, self.features, k,
+                          (self.stride, self.stride), pad,
+                          (self.dilation, self.dilation),
+                          use_bias=not self.bn, dtype=self.dtype,
+                          name="conv")
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-5, dtype=jnp.float32,

@@ -31,6 +31,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import copy
 import io
 import json
 import os.path as osp
@@ -65,6 +66,7 @@ def export_artifact(out_path, cfg_path="", ckpt="", batch=1, cfg=None,
             raise FileNotFoundError("config not found: " + cfg_path)
         cfg = load_cfg(cfg_path or None)
     if quant:
+        cfg = copy.deepcopy(cfg)  # never leak the mode into a caller cfg
         cfg.TPU.QUANT = quant
     model, priors, _ = model_factory("eval", cfg)
     variables = restore_eval_variables(model, cfg, ckpt)
