@@ -58,10 +58,15 @@ def match(truths: Array, labels: Array, priors: Array, variances,
 
     # Forced bipartite step: prior best_prior_idx[j] must match GT j.
     # Reference resolves collisions "last GT wins" via a sequential loop;
-    # equivalently: forced_gt[p] = max{ j valid : best_prior_idx[j] == p }.
+    # equivalently: forced_gt[p] = max{ j valid : best_prior_idx[j] == p },
+    # i.e. a scatter-max of the G gt ids into a [P] buffer. The previous
+    # [G, P] one-hot + max-reduce formulation was O(G*P) work per image;
+    # the scatter is O(G) (in-step effect is small — XLA fused the
+    # one-hot well — but the scatter also frees [B, G, P] intermediates
+    # from the fusion budget).
     gt_ids = jnp.arange(G, dtype=jnp.int32)
-    hits = (best_prior_idx[:, None] == jnp.arange(P)[None, :]) & valid[:, None]
-    forced_gt = jnp.max(jnp.where(hits, gt_ids[:, None], -1), axis=0)  # [P]
+    forced_gt = jnp.full((P,), -1, jnp.int32).at[best_prior_idx].max(
+        jnp.where(valid, gt_ids, -1))  # [P]
     best_truth_idx = jnp.where(forced_gt >= 0, forced_gt, best_truth_idx)
     best_truth_overlap = jnp.where(forced_gt >= 0, 2.0, best_truth_overlap)
 
