@@ -155,3 +155,18 @@ def test_loss_differentiable(rng):
     assert np.isfinite(np.asarray(g_loc)).all()
     assert np.isfinite(np.asarray(g_conf)).all()
     assert float(jnp.abs(g_conf).sum()) > 0
+
+
+def test_onehot_gather_exact(rng):
+    """_gather_rows (one-hot MXU matmul) must equal the direct gather
+    bit-for-bit — including awkward mantissas and the -1 label column.
+    Also asserted on the real TPU (HIGHEST precision; DEFAULT's bf16
+    pass would truncate)."""
+    import jax
+    from odtpu.ops.matching import _gather_rows
+
+    rows = rng.randn(60, 5).astype(np.float32) * 1e3
+    rows[3, 4] = -1.0  # padded-label value rides through the matmul
+    idx = rng.randint(0, 60, (8732,)).astype(np.int32)
+    out = jax.jit(_gather_rows)(jnp.asarray(rows), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), rows[idx])
