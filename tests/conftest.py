@@ -30,6 +30,11 @@ assert jax.devices()[0].platform == "cpu", (
 assert jax.device_count() == 8
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a session-scoped RandomState is a
+    # single shared stream, so every test's data silently depends on
+    # which tests ran before it (adding one rng-consuming test flipped
+    # an unrelated tolerance test). Each test gets the same fresh
+    # deterministic stream no matter the suite order.
     return np.random.RandomState(0)

@@ -108,7 +108,12 @@ def test_int8_detect_matches_f32(rng):
     images_np, boxes, labels = _one_box_batch(rng, B=4)
     step = make_train_step(model32, priors, cfg32, tx, mesh=mesh)
     batch = shard_batch((images_np, boxes, labels), mesh)
-    for _ in range(60):
+    # 240 steps, not a quick 60: the IoU comparison below needs the loc
+    # head genuinely fitted to the four fixed boxes — a half-trained
+    # toy decodes near-random magnitudes through exp(), and whether the
+    # int8 logit noise then clears the IoU bar depends on the noise
+    # draw (a session-order rng change once flipped it).
+    for _ in range(240):
         state, m = step(state, *batch)
     assert np.isfinite(float(m["loss"]))
 
