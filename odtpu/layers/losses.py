@@ -79,13 +79,16 @@ def mined_multibox(loc_pred: Array, conf_pred: Array, loc_t: Array,
                    ignore: Array | None = None) -> MultiBoxLossOutput:
     """Smooth-L1 + hard-negative-mined CE from precomputed targets.
 
-    ignore: optional [B, P] bool — priors excluded from both positives
-    and the negative pool (RefineDet's ARM-filtered anchors).
+    ignore: optional [B, P] bool — priors excluded from the NEGATIVE
+    mining pool only (RefineDet's negative anchor filtering, paper
+    §3.1 filters "well-classified negative anchors"). Positives always
+    train: an earlier version also dropped ignored positives, and a
+    from-scratch ARM — bg-overconfident on 52% of the ODM's positive
+    anchors by iter 6k (measured, BENCH_NOTES round-3) — starved the
+    ODM to a 0.08-mAP plateau.
     """
     B, P, C = conf_pred.shape
     pos = conf_t > 0  # [B, P]
-    if ignore is not None:
-        pos = pos & ~ignore
     num_pos = pos.sum(axis=1)  # [B]
 
     # ---- localization: smooth-L1 over positive priors -------------------
@@ -153,7 +156,8 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     ODM: C-class multibox loss against the ARM-*refined* anchors
     (decode(arm_loc) as per-image priors, gradients stopped), with
     anchors the ARM confidently calls background (P(bg) > 0.99) removed
-    from both the positive set and the negative mining pool.
+    from the negative mining pool (paper's negative anchor filtering;
+    positives always train — see mined_multibox).
     """
     from ..ops.boxes import center_size, decode
     from ..ops.matching import match

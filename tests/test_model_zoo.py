@@ -141,25 +141,37 @@ def test_refinedet_loss_and_detect(rng):
 
 
 def test_refinedet_ignore_filters_negatives(rng):
-    """Anchors with ARM bg prob > 0.99 contribute nothing to ODM loss."""
+    """ARM bg prob > 0.99 removes anchors from the ODM's NEGATIVE
+    mining pool only (paper 3.1); positives always train. (An earlier
+    version dropped ignored positives too and starved the ODM once a
+    from-scratch ARM turned bg-overconfident — BENCH_NOTES round-3.)"""
     from odtpu.layers.losses import refinedet_loss
     P, C, B = 64, 21, 1
     priors = np.stack([
         rng.uniform(0.2, 0.8, P), rng.uniform(0.2, 0.8, P),
         rng.uniform(0.1, 0.3, P), rng.uniform(0.1, 0.3, P)], 1
     ).astype(np.float32)
-    # ARM extremely confident background everywhere -> all ODM ignored
+    # ARM extremely confident background everywhere -> every anchor is
+    # filtered from the ODM negative pool
     arm_conf = np.zeros((B, P, 2), np.float32)
     arm_conf[..., 0] = 20.0
     boxes = np.array([[[0.2, 0.2, 0.6, 0.6]]], np.float32)
     labels = np.array([[4]], np.int64)
-    out = refinedet_loss(jnp.zeros((B, P, 4)), jnp.asarray(arm_conf),
-                         jnp.zeros((B, P, 4)),
-                         jnp.asarray(rng.randn(B, P, C).astype(np.float32)),
-                         jnp.asarray(priors), jnp.asarray(boxes),
-                         jnp.asarray(labels), (0.1, 0.2))
-    assert int(out.odm.num_pos) == 0
-    assert float(out.odm.loss_conf_sum) == 0.0
+    args = (jnp.zeros((B, P, 4)), jnp.asarray(arm_conf),
+            jnp.zeros((B, P, 4)),
+            jnp.asarray(rng.randn(B, P, C).astype(np.float32)),
+            jnp.asarray(priors), jnp.asarray(boxes),
+            jnp.asarray(labels), (0.1, 0.2))
+    out = refinedet_loss(*args)
+    unfiltered = refinedet_loss(*args, neg_anchor_thresh=1.1)
+    # positives survive the filter and match identically
+    assert int(out.odm.num_pos) > 0
+    assert int(out.odm.num_pos) == int(unfiltered.odm.num_pos)
+    # with every anchor filtered, the mined-negative CE term vanishes:
+    # conf loss strictly below the unfiltered one, loc loss identical
+    assert (float(out.odm.loss_conf_sum)
+            < float(unfiltered.odm.loss_conf_sum))
+    assert float(out.odm.loss_loc_sum) == float(unfiltered.odm.loss_loc_sum)
     assert int(out.arm.num_pos) > 0  # ARM itself still matches
 
 
