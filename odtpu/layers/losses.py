@@ -182,19 +182,39 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     refined = center_size(decode(arm_loc_dec, priors[None], variances))
     refined = jax.lax.stop_gradient(refined)  # [B, P, 4]
 
+    # negative-anchor filtering: ARM softmax background prob > thresh
+    arm_prob_bg = jax.nn.softmax(
+        jax.lax.stop_gradient(arm_conf.astype(jnp.float32)), axis=-1)[..., 0]
+    ignore = arm_prob_bg > neg_anchor_thresh
+
+    # Ignored anchors are excluded from ODM *matching*, not just the
+    # loss: arm_loc on negative anchors never receives gradient (loc
+    # loss is positives-only), so their refined boxes are frozen
+    # random-init offsets — boxes anywhere in the image that overlap a
+    # GT by luck. Left in the match, they (a) become "positives" whose
+    # TCB receptive field sees background (unlearnable label noise —
+    # 52% of all ODM positives on the first at-scale run, ODM argmax
+    # accuracy 12.5% after 6k iters) and (b) STEAL GTs from genuine
+    # anchors in the forced-bipartite step, leaving the GT with no
+    # learnable positive at all. Degenerating their boxes (far outside
+    # [0,1], IoU 0 with everything) keeps matching among anchors the
+    # ARM itself considers object-like, which is also exactly the set
+    # detect_refine scores at eval.
+    degenerate = jnp.asarray([-4.0, -4.0, 1e-3, 1e-3], refined.dtype)
+    refined_m = jnp.where(ignore[..., None], degenerate, refined)
+
     def match_one(boxes, labels, pri):
         loc_t, conf_t, _ = match(boxes, labels, pri, variances,
                                  overlap_thresh)
         return loc_t, conf_t
 
-    loc_t, conf_t = jax.vmap(match_one)(gt_boxes, gt_labels, refined)
+    loc_t, conf_t = jax.vmap(match_one)(gt_boxes, gt_labels, refined_m)
+    # the forced-bipartite step can still pin a GT to a degenerate
+    # anchor when NO live anchor overlaps it (argmax over an all-zero
+    # row); those are not learnable either — background them
+    conf_t = jnp.where(ignore, 0, conf_t)
     loc_t = jax.lax.stop_gradient(loc_t)
     conf_t = jax.lax.stop_gradient(conf_t)
-
-    # negative-anchor filtering: ARM softmax background prob > thresh
-    arm_prob_bg = jax.nn.softmax(
-        jax.lax.stop_gradient(arm_conf.astype(jnp.float32)), axis=-1)[..., 0]
-    ignore = arm_prob_bg > neg_anchor_thresh
 
     odm_out = mined_multibox(odm_loc, odm_conf, loc_t, conf_t,
                              neg_pos_ratio, ignore=ignore)

@@ -86,8 +86,15 @@ class RefineDet(nn.Module):
         arm_loc, arm_conf = [], []
         for i, (s, a) in enumerate(zip(sources, self.num_priors)):
             b = s.shape[0]
+            # arm_loc zero-init: refined anchors feed the ODM's
+            # matching from step 1 (losses.refinedet_loss), and at init
+            # the ARM ignores nothing (P(bg)~0.5) so matching runs over
+            # ALL refined boxes — zero offsets make refined == priors
+            # exactly until the ARM learns, instead of xavier-scale
+            # random boxes (per-positive smooth-L1 ~14 measured at
+            # init). Toy-neutral, strictly cleaner early ODM targets.
             l = Conv(a * 4, kernel=3, padding=1, relu=False, dtype=d,
-                     kernel_init=xavier_uniform(),
+                     kernel_init=nn.initializers.zeros,
                      quantizable=False, name=f"arm_loc_{i}")(s)
             c = Conv(a * 2, kernel=3, padding=1, relu=False, dtype=d,
                      kernel_init=xavier_uniform(),
