@@ -27,6 +27,27 @@ tunnel whose H2D path was measured anywhere between 40 MB/s and
   production serving loop; a serial-mode worker is the fallback;
 - the parent retries across tunnel phases (with backoff) until the
   deadline budget runs out, keeping the best result seen.
+
+Round-4 hardening (round 3's number of record was a CPU fallback at
+0.03x because the FIRST worker carried the slow extras phase and burned
+the whole retry budget against a wedged tunnel):
+
+- the PRIMARY number comes first: every attempt until one lands is
+  extras-free and short (PRIMARY_TIMEOUT_S), so several retries fit the
+  budget; the extras phase runs only AFTER a TPU number is banked, in a
+  worker whose kill cannot lose anything (primary re-printed first,
+  extras landed incrementally);
+- after a failed attempt the parent runs a cheap tunnel PROBE
+  subprocess (device_put + float() sync under PROBE_TIMEOUT_S) in a
+  backoff loop instead of burning full worker windows against a wedged
+  tunnel;
+- the CPU fallback runs CONCURRENTLY in the background from the first
+  TPU failure onward, so no end-of-budget reserve must be held back and
+  the TPU attempts get essentially the whole budget; its number is used
+  only if no TPU attempt ever lands.
+
+The driver can raise the overall deadline via ODTPU_BENCH_BUDGET_S
+(seconds, default 780).
 """
 
 from __future__ import annotations
@@ -37,20 +58,21 @@ import subprocess
 import sys
 import time
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FPS = 46.0
 PARENT_BUDGET_S = int(os.environ.get("ODTPU_BENCH_BUDGET_S", "780"))
-WORKER_TIMEOUT_S = 330
+# extras-free primary worker: ~60s worst-case backend init + ~40s
+# compile + warmup + 4 short windows fits comfortably; short enough
+# that 2-3 attempts plus probe cycles fit the default budget
+PRIMARY_TIMEOUT_S = 250
+# tunnel probe subprocess: device_put + float() sync; a healthy tunnel
+# passes in well under this even with a cold backend init (~60s
+# measured worst case); a wedged one hangs and gets killed
+PROBE_TIMEOUT_S = 100
 # the extras carry their own alarm deadlines (120s B=1 latency + 120s
-# on-chip B=1 + 150s on-chip B=32 throughput + 240s train throughput)
-# on top of the primary windows, so the worker that runs them gets
-# headroom beyond WORKER_TIMEOUT_S when the budget allows. The primary
-# number can NOT be lost to a slow extras phase either way: the worker
-# prints the primary JSON line before starting extras, and the parent
-# recovers that line from a killed worker's partial stdout.
-EXTRAS_TIMEOUT_S = WORKER_TIMEOUT_S + 120 + 120 + 150 + 240
-# kept free for the CPU fallback so the one JSON line always lands
-# inside PARENT_BUDGET_S (the deadline contract with the driver)
-FALLBACK_RESERVE_S = 300
+# on-chip B=1 + 150s on-chip B=32 throughput + 240s train + 180s int8)
+# and land incrementally; the extras worker only runs once a TPU
+# primary number is banked, so killing it mid-phase loses nothing.
 GOOD_ENOUGH_IPS = 400.0  # healthy-tunnel, compute-bound: stop retrying
 
 
@@ -65,12 +87,15 @@ def _parse_json_line(text):
     return None
 
 
+def _worker_cmd(mode, extras):
+    return [sys.executable, os.path.abspath(__file__), "--worker",
+            "--mode", mode] + (["--extras"] if extras else [])
+
+
 def _run_worker(mode, extras, timeout_s, platform=None):
     env = dict(os.environ)
     if platform:
         env["JAX_PLATFORMS"] = platform
-    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-           "--mode", mode] + (["--extras"] if extras else [])
     # stdout goes to a temp file, not a pipe: the worker prints its
     # primary JSON before the extras phase, and a file retains that
     # line when the worker is killed mid-extras (TimeoutExpired.stdout
@@ -79,7 +104,8 @@ def _run_worker(mode, extras, timeout_s, platform=None):
     try:
         with tempfile.TemporaryFile(mode="w+") as fout:
             try:
-                subprocess.run(cmd, stdout=fout, stderr=subprocess.DEVNULL,
+                subprocess.run(_worker_cmd(mode, extras), stdout=fout,
+                               stderr=subprocess.DEVNULL,
                                timeout=timeout_s, env=env)
             except subprocess.TimeoutExpired:
                 pass
@@ -89,57 +115,167 @@ def _run_worker(mode, extras, timeout_s, platform=None):
         return None
 
 
+_PROBE_SRC = """
+import bench
+bench._maybe_simulate_wedge()
+import numpy as np, jax
+x = jax.device_put(np.ones((512, 512), np.float32))
+assert float(x.sum()) == 512 * 512  # float() is the only reliable sync
+print("PROBE_OK")
+"""
+
+
+def _maybe_simulate_wedge():
+    """Test-only hook: ODTPU_BENCH_WEDGE_UNTIL=<unix ts> makes TPU-path
+    workers and probes hang like a wedged tunnel until that moment
+    (ODTPU_BENCH_WEDGE_EXEMPT=1 — set for the CPU fallback — opts out).
+    Lets the retry ladder be dry-run-tested without a real outage."""
+    until = float(os.environ.get("ODTPU_BENCH_WEDGE_UNTIL", "0") or 0)
+    if os.environ.get("ODTPU_BENCH_WEDGE_EXEMPT") == "1":
+        return
+    now = time.time()
+    if now < until:
+        time.sleep(until - now + 3600)  # parent kills us first
+
+
+def _probe_tunnel(timeout_s=PROBE_TIMEOUT_S):
+    """True iff a fresh process can reach the TPU and sync a small
+    array within timeout_s. Cheap relative to a full worker window."""
+    env = dict(os.environ)
+    test_platform = env.get("ODTPU_BENCH_TEST_PLATFORM")
+    if test_platform:
+        env["JAX_PLATFORMS"] = test_platform
+    try:
+        res = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                             stdout=subprocess.PIPE, cwd=_REPO_DIR,
+                             stderr=subprocess.DEVNULL, timeout=timeout_s,
+                             env=env)
+        return b"PROBE_OK" in (res.stdout or b"")
+    except Exception:
+        return False
+
+
+class _CpuFallback:
+    """CPU fallback worker run concurrently (it never touches the
+    tunnel), started lazily at the first TPU failure so a healthy run's
+    measurement is never contended. Used only if no TPU number lands."""
+
+    def __init__(self):
+        self._proc = None
+        self._fout = None
+
+    def ensure_started(self):
+        if self._proc is not None:
+            return
+        import tempfile
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["ODTPU_BENCH_WEDGE_EXEMPT"] = "1"  # never wedge-simulated
+        self._fout = tempfile.TemporaryFile(mode="w+")
+        self._proc = subprocess.Popen(_worker_cmd("serial", False),
+                                      stdout=self._fout,
+                                      stderr=subprocess.DEVNULL, env=env)
+
+    def result(self, wait_until):
+        if self._proc is None:
+            return None
+        try:
+            self._proc.wait(timeout=max(0, wait_until - time.time()))
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+        try:
+            self._fout.seek(0)
+            return _parse_json_line(self._fout.read())
+        except Exception:
+            return None
+
+    def cleanup(self):
+        if self._proc is not None and self._proc.poll() is None:
+            self._proc.kill()
+
+
+def _merge_best(best, res):
+    """Keep the higher primary value; never lose extras already landed."""
+    if res is None or not isinstance(res.get("value"), (int, float)):
+        return best
+    if best is None:
+        return res
+    lo, hi = ((res, best) if best["value"] >= res["value"]
+              else (best, res))
+    for k, v in lo.get("extra", {}).items():
+        if k in ("p50_latency_ms_b1", "onchip_ms_b1", "onchip_ips_b32",
+                 "train_img_per_sec", "int8_onchip_ips_b32"):
+            skipped = isinstance(v, str)
+            cur = hi.setdefault("extra", {}).get(k)
+            if cur is None or (isinstance(cur, str) and not skipped):
+                hi["extra"][k] = v
+    return hi
+
+
+def _extras_done(best):
+    e = (best or {}).get("extra", {})
+    return any(not isinstance(e.get(k), (str, type(None)))
+               for k in ("onchip_ips_b32", "train_img_per_sec"))
+
+
 def main():
     t_end = time.time() + PARENT_BUDGET_S
     want_tpu = (os.environ.get("JAX_PLATFORMS", "").strip() != "cpu")
-    best = None
+    best = None          # best TPU result
     attempt = 0
+    probes_failed = 0
+    cpu = _CpuFallback()
     # overlap first; fall back to serial; retry across tunnel phases
-    schedule = ["overlap", "overlap", "serial", "overlap", "serial"]
+    schedule = ["overlap", "serial", "overlap", "serial", "overlap"]
     while want_tpu:
-        mode = schedule[min(attempt, len(schedule) - 1)]
         remaining = t_end - time.time()
-        # keep enough budget for the CPU fallback while we still have
-        # no number at all
-        usable = remaining - (FALLBACK_RESERVE_S if best is None else 0)
-        if usable < 120:
-            break
-        run_extras = attempt == 0  # extras once, on the first worker
-        res = _run_worker(mode, run_extras,
-                          min(EXTRAS_TIMEOUT_S if run_extras
-                              else WORKER_TIMEOUT_S, usable))
-        attempt += 1
-        if res and isinstance(res.get("value"), (int, float)):
-            if best is None or res["value"] > best["value"]:
-                extra_keep = {}
-                if best is not None:
-                    for k in ("p50_latency_ms_b1", "onchip_ms_b1",
-                              "onchip_ips_b32", "train_img_per_sec",
-                              "int8_onchip_ips_b32"):
-                        if k in best.get("extra", {}):
-                            extra_keep[k] = best["extra"][k]
-                best = res
-                best.setdefault("extra", {}).update(extra_keep)
-            if best["value"] >= GOOD_ENOUGH_IPS:
-                break
-            # degraded phase: wait for the tunnel to turn over
-            if time.time() + 150 < t_end:
-                time.sleep(90)
+        if remaining < (90 if best is None else 150):
+            break  # too little time for any useful attempt
+        test_platform = os.environ.get("ODTPU_BENCH_TEST_PLATFORM")
+        if best is None:
+            # PRIMARY phase: extras-free short attempts, most retries
+            mode = schedule[min(attempt, len(schedule) - 1)]
+            res = _run_worker(mode, False,
+                              min(PRIMARY_TIMEOUT_S, remaining - 10),
+                              platform=test_platform)
+            attempt += 1
+            best = _merge_best(best, res)
+            if best is not None:
+                continue  # go straight to the extras phase
+            # failed attempt: tunnel is suspect. Arm the concurrent CPU
+            # fallback, then probe (cheap) until the tunnel turns over
+            cpu.ensure_started()
+            while time.time() + PROBE_TIMEOUT_S + 90 < t_end:
+                if _probe_tunnel(min(PROBE_TIMEOUT_S,
+                                     t_end - time.time() - 60)):
+                    break
+                probes_failed += 1
+                time.sleep(min(45, max(0, t_end - time.time() - 60)))
         else:
-            # worker died or hung (wedged tunnel): back off, retry
-            if time.time() + 180 < t_end:
-                time.sleep(120)
+            # EXTRAS phase: a TPU primary is banked and cannot be lost
+            # (the extras worker re-prints it first and lands each
+            # extra incrementally; a mid-phase kill keeps the partials)
+            if _extras_done(best) and best["value"] >= GOOD_ENOUGH_IPS:
+                break
+            res = _run_worker("overlap", True, remaining - 5,
+                              platform=test_platform)
+            attempt += 1
+            best = _merge_best(best, res)
+            if _extras_done(best):
+                break  # one full extras pass is enough
     if best is None:
-        # TPU unreachable inside the budget: CPU fallback (inside the
-        # reserved slice of the budget) so a JSON line still lands for
-        # the driver on time
-        best = _run_worker("serial", False,
-                           max(120, t_end - time.time()), platform="cpu")
+        # TPU never reachable inside the budget: use the concurrently
+        # computed CPU fallback so a JSON line still lands on time
+        cpu.ensure_started()
+        best = cpu.result(wait_until=t_end - 5)
+    cpu.cleanup()
     if best is None:
         best = {"metric": "ssd300_images_per_sec", "value": 0.0,
                 "unit": "img/s", "vs_baseline": 0.0,
                 "extra": {"error": "all bench workers failed"}}
     best.setdefault("extra", {})["attempts"] = attempt
+    if probes_failed:
+        best["extra"]["tunnel_probes_failed"] = probes_failed
     print(json.dumps(best))
 
 
@@ -148,6 +284,7 @@ def main():
 # ----------------------------------------------------------------------
 
 def worker(mode, extras):
+    _maybe_simulate_wedge()
     from odtpu.utils.platform import apply_platform_env
     apply_platform_env()
     import cv2
