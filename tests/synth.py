@@ -63,6 +63,61 @@ def make_voc(root, year="2007", setname="test", n_images=8, seed=0,
     return records
 
 
+# the standard 80 COCO category ids (1-90 with the 10 historical gaps),
+# matching /root/reference/lib/datasets/coco_labels.txt's live rows
+COCO80_CAT_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40,
+    41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79,
+    80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+
+
+def make_coco_learnable(root, split="train2014", n_images=64, seed=0,
+                        min_size=300, max_size=500, start_id=0):
+    """Full-protocol learnable synthetic COCO: 80 real (non-contiguous)
+    category ids, class-colored solid rectangles on noise (same
+    learnability recipe as make_voc), full-size images. Used by the
+    COCO training contract (cfgs/tests/coco_synth.yml)."""
+    palette = np.random.RandomState(99).randint(30, 255, (80, 3))
+    rng = np.random.RandomState(seed)
+    img_dir = osp.join(root, "images", split)
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(osp.join(root, "annotations"), exist_ok=True)
+    images, annotations = [], []
+    aid = start_id * 4 + 1
+    for i in range(start_id, start_id + n_images):
+        h = int(rng.randint(min_size, max_size))
+        w = int(rng.randint(min_size, max_size))
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        n = rng.randint(1, 4)
+        for _ in range(n):
+            x1 = rng.randint(0, w - 40)
+            y1 = rng.randint(0, h - 40)
+            x2 = rng.randint(x1 + 20, min(x1 + w // 2 + 21, w))
+            y2 = rng.randint(y1 + 20, min(y1 + h // 2 + 21, h))
+            lbl = int(rng.randint(0, 80))
+            cv2.rectangle(img, (x1, y1), (x2, y2),
+                          tuple(int(v) for v in palette[lbl]), -1)
+            annotations.append({
+                "id": aid, "image_id": i + 1,
+                "category_id": COCO80_CAT_IDS[lbl],
+                "bbox": [float(x1), float(y1),
+                         float(x2 - x1), float(y2 - y1)],
+                "area": float((x2 - x1) * (y2 - y1)), "iscrowd": 0})
+            aid += 1
+        fname = "COCO_{}_{:012d}.jpg".format(split, i + 1)
+        cv2.imwrite(osp.join(img_dir, fname), img)
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": w, "height": h})
+    data = {"images": images, "annotations": annotations,
+            "categories": [{"id": c, "name": "cat%d" % c}
+                           for c in COCO80_CAT_IDS]}
+    with open(osp.join(root, "annotations",
+                       "instances_{}.json".format(split)), "w") as f:
+        json.dump(data, f)
+
+
 def make_coco(root, split="val2014", n_images=6, seed=0):
     """Create a tiny COCO tree (images/ + annotations/instances json)."""
     rng = np.random.RandomState(seed)

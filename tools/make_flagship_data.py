@@ -29,20 +29,38 @@ def main():
     p.add_argument("--root", default=osp.join(REPO, "data", "synthdevkit"))
     p.add_argument("--train_images", type=int, default=3000)
     p.add_argument("--test_images", type=int, default=500)
+    p.add_argument("--coco", action="store_true",
+                   help="emit a synthetic COCO tree (80 real category "
+                        "ids, train2014 + val2014 splits) instead of "
+                        "VOC — the COCO training contract's dataset "
+                        "(cfgs/tests/coco_synth.yml); --root defaults "
+                        "to data/synthcoco in this mode")
     args = p.parse_args()
 
-    from synth import make_voc
-
     t0 = time.time()
-    make_voc(args.root, year="2007", setname="synthtrain",
-             n_images=args.train_images, seed=1,
-             min_size=300, max_size=500)
-    # disjoint id range so train/test never alias an image file
-    make_voc(args.root, year="2007", setname="synthtest",
-             n_images=args.test_images, seed=2, start_id=500000,
-             min_size=300, max_size=500)
+    if args.coco:
+        from synth import make_coco_learnable
+        root = args.root
+        if root == osp.join(REPO, "data", "synthdevkit"):
+            root = osp.join(REPO, "data", "synthcoco")
+        make_coco_learnable(root, split="train2014",
+                            n_images=args.train_images, seed=11)
+        # disjoint image-id range so train/val never alias
+        make_coco_learnable(root, split="val2014",
+                            n_images=args.test_images, seed=12,
+                            start_id=500000)
+    else:
+        from synth import make_voc
+        root = args.root
+        make_voc(root, year="2007", setname="synthtrain",
+                 n_images=args.train_images, seed=1,
+                 min_size=300, max_size=500)
+        # disjoint id range so train/test never alias an image file
+        make_voc(root, year="2007", setname="synthtest",
+                 n_images=args.test_images, seed=2, start_id=500000,
+                 min_size=300, max_size=500)
     print("wrote {} train + {} test images under {} in {:.1f}s".format(
-        args.train_images, args.test_images, args.root, time.time() - t0))
+        args.train_images, args.test_images, root, time.time() - t0))
 
 
 if __name__ == "__main__":
