@@ -27,6 +27,9 @@ def main():
     from odtpu.utils.platform import apply_platform_env
     apply_platform_env()
     p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="",
+                   help="yaml to profile a non-default spec (e.g. "
+                        "cfgs/vgg/ssd_vgg16_voc_image512.yml)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--impl", default="auto", choices=["auto", "pallas",
@@ -47,9 +50,9 @@ def main():
     from odtpu.models import model_factory
     from odtpu.ops.boxes import decode
     from odtpu.ops.detect import _per_class_nms, detect_out
-    from odtpu.utils.config import default_cfg
+    from odtpu.utils.config import default_cfg, load_cfg
 
-    cfg = default_cfg()
+    cfg = load_cfg(args.cfg) if args.cfg else default_cfg()
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     model, priors, _ = model_factory("eval", cfg)

@@ -26,6 +26,8 @@ def main():
     from odtpu.utils.platform import apply_platform_env
     apply_platform_env()
     p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="",
+                   help="yaml to profile a non-default spec")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--chain", type=int, default=10)
     args = p.parse_args()
