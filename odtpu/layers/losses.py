@@ -148,7 +148,8 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
                    odm_conf: Array, priors: Array, gt_boxes: Array,
                    gt_labels: Array, variances,
                    overlap_thresh: float = 0.5, neg_pos_ratio: int = 3,
-                   neg_anchor_thresh: float = 0.99) -> RefineDetLossOutput:
+                   neg_anchor_thresh: float = 0.99,
+                   use_refined=True) -> RefineDetLossOutput:
     """Two-stage RefineDet loss (arXiv:1711.06897 §3).
 
     ARM: class-agnostic multibox loss against the anchor grid (every GT
@@ -158,6 +159,19 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     anchors the ARM confidently calls background (P(bg) > 0.99) removed
     from the negative mining pool (paper's negative anchor filtering;
     positives always train — see mined_multibox).
+
+    use_refined (bool scalar, may be traced): when False the ODM matches
+    GT against the RAW anchor grid with no negative-anchor filtering —
+    i.e. behaves as a plain SSD multibox loss. From-scratch training
+    needs a warm phase in this mode (cfg.LOSS.ODM_MATCH_WARM_ITERS):
+    before the ARM converges, refined anchors are random-init offsets,
+    the ODM class targets they induce are pure label noise, and the
+    conf head collapses toward uniform and never recovers (measured:
+    iter-6k ODM positive-class accuracy 0.112 while a fresh linear
+    probe on the SAME TCB features scores 0.845 held-out —
+    tools/diag_refinedet.py, tools/probe_tcb_features.py). The paper
+    never hits this because its backbone is pretrained and the ARM is
+    meaningful within hundreds of iters.
     """
     from ..ops.boxes import center_size, decode
     from ..ops.matching import match
@@ -202,6 +216,13 @@ def refinedet_loss(arm_loc: Array, arm_conf: Array, odm_loc: Array,
     # detect_refine scores at eval.
     degenerate = jnp.asarray([-4.0, -4.0, 1e-3, 1e-3], refined.dtype)
     refined_m = jnp.where(ignore[..., None], degenerate, refined)
+
+    # warm phase: raw anchor grid, nothing filtered (plain SSD targets)
+    use_ref = jnp.asarray(use_refined, bool)
+    raw = jnp.broadcast_to(priors[None].astype(refined_m.dtype),
+                           refined_m.shape)
+    refined_m = jnp.where(use_ref, refined_m, raw)
+    ignore = jnp.logical_and(ignore, use_ref)
 
     def match_one(boxes, labels, pri):
         loc_t, conf_t, _ = match(boxes, labels, pri, variances,

@@ -123,6 +123,7 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     loc_w = float(cfg.LOSS.LOC_WEIGHT)
     has_bn = _model_has_bn(cfg)
     is_refine = cfg.MODEL.SSD_TYPE == "RefineDet"
+    odm_warm = int(cfg.LOSS.ODM_MATCH_WARM_ITERS)
     use_remat = bool(cfg.TPU.REMAT)
     device_photo = bool(cfg.DATASET.DEVICE_PHOTOMETRIC)
     pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
@@ -141,8 +142,8 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     if use_remat:
         apply_model = jax.checkpoint(apply_model, static_argnums=(3,))
 
-    def loss_fn(params, batch_stats, priors_arg, rng, images, boxes,
-                labels):
+    def loss_fn(params, batch_stats, priors_arg, rng, step_i, images,
+                boxes, labels):
         if device_photo:
             from ..data.device_aug import preprocess_train_batch
             images = preprocess_train_batch(images, rng, pixel_means)
@@ -150,9 +151,10 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
         if is_refine:
             from ..layers.losses import refinedet_loss
             arm_loc, arm_conf, odm_loc, odm_conf = outputs
+            use_refined = True if odm_warm == 0 else (step_i >= odm_warm)
             r = refinedet_loss(arm_loc, arm_conf, odm_loc, odm_conf,
                                priors_arg, boxes, labels, variances,
-                               overlap, negpos)
+                               overlap, negpos, use_refined=use_refined)
             n_arm = jnp.maximum(r.arm.num_pos, 1).astype(jnp.float32)
             n_odm = jnp.maximum(r.odm.num_pos, 1).astype(jnp.float32)
             loss_l = (loc_w * r.arm.loss_loc_sum / n_arm
@@ -186,8 +188,8 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
         rng = jax.random.fold_in(jax.random.PRNGKey(17),
                                  state.step.astype(jnp.uint32))
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, priors_arg, rng, images, boxes,
-            labels)
+            state.params, state.batch_stats, priors_arg, rng, state.step,
+            images, boxes, labels)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,

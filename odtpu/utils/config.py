@@ -144,6 +144,18 @@ def default_cfg() -> AttrDict:
     # RepGT repulsion term weight (crowd scenes); 0 disables. The
     # reference ships RepulsionLoss unwired (multibox_loss_backup.py).
     C.LOSS.REPULSION_WEIGHT = 0.0
+    # RefineDet from-scratch curriculum: for the first N iters the ODM
+    # matches GT against the RAW anchor grid (stable SSD-style class
+    # targets) instead of the ARM-refined anchors; 0 = paper behavior
+    # (always refined — correct with a pretrained backbone, where the
+    # ARM is meaningful within hundreds of iters). Measured need: from
+    # scratch, matching vs untrained refined anchors feeds the ODM
+    # pure label noise until the ARM converges, the conf head collapses
+    # toward uniform and never recovers (iter-6k ODM class accuracy on
+    # positives 0.112 while a fresh linear probe on the SAME TCB
+    # features scores 0.845 held-out — tools/diag_refinedet.py,
+    # tools/probe_tcb_features.py).
+    C.LOSS.ODM_MATCH_WARM_ITERS = 0
 
     # ---------------- Train ----------------
     C.TRAIN = AttrDict()

@@ -257,3 +257,53 @@ def test_refinedet_loss_stable_at_raw_init_scale(rng):
     grads = jax.grad(total, argnums=(0, 1, 2, 3))(*args)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_refinedet_warm_phase_is_plain_multibox(rng):
+    """cfg.LOSS.ODM_MATCH_WARM_ITERS contract: with use_refined=False
+    the ODM branch must be EXACTLY a plain SSD multibox loss on the raw
+    anchor grid — same matching, no negative-anchor filtering — so the
+    warm phase trains the conf head on stable targets (the from-scratch
+    failure mode this knob exists for is documented in refinedet_loss).
+    Traced-scalar use_refined must give the same result as the Python
+    bool (train.py passes `state.step >= warm` through jit)."""
+    from odtpu.layers.losses import refinedet_loss, multibox_loss
+    P, C, G, B = 128, 21, 5, 2
+    priors = np.stack([
+        rng.uniform(0.2, 0.8, P), rng.uniform(0.2, 0.8, P),
+        rng.uniform(0.1, 0.3, P), rng.uniform(0.1, 0.3, P)], 1
+    ).astype(np.float32)
+    arm_loc = (rng.randn(B, P, 4) * 0.05).astype(np.float32)
+    arm_conf = rng.randn(B, P, 2).astype(np.float32)
+    odm_loc = (rng.randn(B, P, 4) * 0.05).astype(np.float32)
+    odm_conf = rng.randn(B, P, C).astype(np.float32)
+    boxes = np.zeros((B, G, 4), np.float32)
+    labels = np.full((B, G), -1, np.int64)
+    for i in range(B):
+        xy = rng.uniform(0, 0.5, (2, 2))
+        wh = rng.uniform(0.2, 0.4, (2, 2))
+        boxes[i, :2] = np.concatenate([xy, xy + wh], 1)
+        labels[i, :2] = rng.randint(0, 20, 2)
+    args = (jnp.asarray(arm_loc), jnp.asarray(arm_conf),
+            jnp.asarray(odm_loc), jnp.asarray(odm_conf),
+            jnp.asarray(priors), jnp.asarray(boxes), jnp.asarray(labels),
+            (0.1, 0.2))
+
+    warm = refinedet_loss(*args, use_refined=False)
+    plain = multibox_loss(jnp.asarray(odm_loc), jnp.asarray(odm_conf),
+                          jnp.asarray(priors), jnp.asarray(boxes),
+                          jnp.asarray(labels), (0.1, 0.2))
+    assert float(warm.odm.loss_loc_sum) == float(plain.loss_loc_sum)
+    assert float(warm.odm.loss_conf_sum) == float(plain.loss_conf_sum)
+    assert int(warm.odm.num_pos) == int(plain.num_pos)
+    # ARM branch is unaffected by the warm switch
+    ref = refinedet_loss(*args, use_refined=True)
+    assert float(warm.arm.loss_conf_sum) == float(ref.arm.loss_conf_sum)
+    # refined-phase ODM differs (the switch actually switches)
+    assert float(ref.odm.loss_conf_sum) != float(plain.loss_conf_sum)
+    # traced scalar == python bool on both sides of the switch
+    jitted = jax.jit(lambda u: refinedet_loss(*args, use_refined=u))
+    for u, want in ((False, warm), (True, ref)):
+        got = jitted(jnp.asarray(u))
+        assert float(got.odm.loss_conf_sum) == float(want.odm.loss_conf_sum)
+        assert float(got.odm.loss_loc_sum) == float(want.odm.loss_loc_sum)
