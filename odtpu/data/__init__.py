@@ -37,7 +37,8 @@ def dataset_factory(phase, cfg):
         cfg.DATASET.IMAGE_SIZE, cfg.DATASET.PIXEL_MEANS,
         use_base=not train,
         device_photometric=train and bool(cfg.DATASET.DEVICE_PHOTOMETRIC),
-        device_normalize=not train)
+        device_normalize=not train,
+        photometric=bool(cfg.DATASET.PHOTOMETRIC))
     num_pics = 0 if train else int(cfg.DATASET.NUM_EVAL_PICS)
     # multi-host: each process loads its slice and its share of the
     # global batch (jax.distributed must be initialized by the caller)

@@ -295,10 +295,12 @@ class SSDAugmentation:
 
     def __init__(self, size=(300, 300), mean=(104, 117, 123),
                  use_base: bool = False, device_photometric: bool = False,
-                 device_normalize: bool = False):
+                 device_normalize: bool = False, photometric: bool = True):
         self.size = tuple(size)
         self.mean = np.array(mean, dtype=np.float32)
         self.use_base = use_base
+        # photometric=False: geometry aug only (cfg.DATASET.PHOTOMETRIC)
+        self.photometric = photometric
         # device_photometric: host does only the shape-changing geometry
         # and emits uint8 BGR; the train step applies PhotometricDistort
         # + SubtractMeans + BGR->RGB on device (odtpu.data.device_aug).
@@ -388,7 +390,7 @@ class SSDAugmentation:
         dump = slot is not None
         if dump:
             self._dump("0_input", img, boxes, labels, slot)
-        if not self.device_photometric:
+        if not self.device_photometric and self.photometric:
             img = photometric_distort(img, rng)
             if dump:
                 self._dump("1_photometric", img, boxes, labels, slot)

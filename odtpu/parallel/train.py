@@ -126,6 +126,7 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
     odm_warm = int(cfg.LOSS.ODM_MATCH_WARM_ITERS)
     use_remat = bool(cfg.TPU.REMAT)
     device_photo = bool(cfg.DATASET.DEVICE_PHOTOMETRIC)
+    photo_distort = bool(cfg.DATASET.PHOTOMETRIC)
     pixel_means = tuple(float(m) for m in cfg.DATASET.PIXEL_MEANS)
     rep_w = float(cfg.LOSS.REPULSION_WEIGHT)
 
@@ -146,7 +147,8 @@ def make_train_step(model, priors, cfg, tx, mesh=None, donate=True):
                 boxes, labels):
         if device_photo:
             from ..data.device_aug import preprocess_train_batch
-            images = preprocess_train_batch(images, rng, pixel_means)
+            images = preprocess_train_batch(images, rng, pixel_means,
+                                            distort=photo_distort)
         outputs, new_stats = apply_model(params, batch_stats, images, True)
         if is_refine:
             from ..layers.losses import refinedet_loss

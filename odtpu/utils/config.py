@@ -107,6 +107,12 @@ def default_cfg() -> AttrDict:
     # TPU-new: run PhotometricDistort + mean-subtract inside the train
     # step (host ships uint8, 4x less H2D); False = reference host order
     C.DATASET.DEVICE_PHOTOMETRIC = False
+    # Master switch for PhotometricDistort (host or device). False keeps
+    # geometry aug (expand/crop/mirror) but skips the color jitter —
+    # needed by contracts on synthetic data whose class signal is pure
+    # chroma (measured: an ORACLE nearest-palette classifier is 74.5%
+    # wrong under the distortion at 80 classes; see BENCH_NOTES round-4)
+    C.DATASET.PHOTOMETRIC = True
     # TPU-new: opt-in decoded-image RAM cache — JPEG decode dominates
     # the host loader once geometry runs in the native sampler
     # (odtpu/data/cache.py); bounded, no eviction

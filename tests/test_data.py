@@ -239,3 +239,35 @@ def test_dataset_factory_cache_flag(voc_root):
     assert loader.dataset.image_cache.stats()["images"] > 0
     b2 = next(iter(loader))
     np.testing.assert_array_equal(b1["images"], b2["images"])
+
+
+def test_photometric_off_geometry_only(voc_root):
+    """cfg.DATASET.PHOTOMETRIC=False keeps geometry aug but skips the
+    color jitter: every output value stays inside the per-channel
+    convex hull of {source color, expand fill} — brightness/contrast
+    jitter would leave it. Contract configs on chroma-coded synthetic
+    data rely on this (cfgs/tests/coco_synth.yml rationale)."""
+    src = np.array([200, 100, 50], np.float32)  # BGR
+    mean = np.array([104, 117, 123], np.float32)
+    aug = SSDAugmentation((64, 64), tuple(mean), photometric=False)
+    img = np.broadcast_to(src.astype(np.uint8), (80, 90, 3)).copy()
+    boxes = np.array([[0.1, 0.1, 0.8, 0.8]], np.float32)
+    labels = np.array([3])
+    for i in range(8):
+        out, _, _ = aug(img, boxes, labels, rng=np.random.default_rng(i))
+        bgr = out + mean  # undo SubtractMeans
+        lo = np.minimum(src, mean) - 1.0  # resize is +-1 LSB fixed-point
+        hi = np.maximum(src, mean) + 1.0
+        assert (bgr >= lo).all() and (bgr <= hi).all(), i
+
+    # cfg plumbing: dataset_factory propagates the knob
+    root, _ = voc_root
+    cfg = default_cfg()
+    cfg.DATASET.SUB_DIR = "ignored"
+    update_cfg(cfg)
+    cfg.DATASET.DATASET_DIR = root
+    cfg.DATASET.TEST_SETS = (("2007", "test"),)
+    cfg.DATASET.PHOTOMETRIC = False
+    cfg.DATASET.NUM_WORKERS = 1
+    loader = dataset_factory("eval", cfg)
+    assert loader.transform.photometric is False
