@@ -30,6 +30,8 @@ def main():
                    help="yaml to profile a non-default spec")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--chain", type=int, default=10)
+    p.add_argument("--remat", action="store_true",
+                   help="force TPU.REMAT on for an A/B")
     args = p.parse_args()
 
     import jax
@@ -41,12 +43,14 @@ def main():
     from odtpu.ops.matching import match_batch
     from odtpu.parallel import (create_train_state, make_mesh,
                                 make_train_step, shard_batch)
-    from odtpu.utils.config import default_cfg
+    from odtpu.utils.config import default_cfg, load_cfg
 
-    cfg = default_cfg()
+    cfg = load_cfg(args.cfg) if args.cfg else default_cfg()
     if jax.default_backend() != "tpu":
         cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.DATASET.DEVICE_PHOTOMETRIC = True
+    if args.remat:
+        cfg.TPU.REMAT = True
     cfg.TRAIN.OPTIMIZER.LR = 1e-5
     B = args.batch
     N = args.chain
