@@ -114,8 +114,19 @@ class RefineDet(nn.Module):
             tcb_outs[i] = deeper
 
         # ---- ODM heads on TCB outputs ----
+        # L2Norm (learnable scale, init 20) on every TCB output before
+        # the heads. From-scratch necessity, not in the paper (whose
+        # pretrained backbone sidesteps it): raw TCB activations sit at
+        # std 0.33-0.66, so dW for the conf head (∝ feature magnitude)
+        # is starved — measured on frozen iter-2k TCB features, a fresh
+        # linear head under the run's exact mined-CE/SGD/lr reaches only
+        # 0.22 positive-class accuracy in 600 steps, while the SAME
+        # setup on L2Norm(20) features reaches 0.86 (BENCH_NOTES
+        # round-4). SSD300 never hits this because its dominant source
+        # (conv4_3, 5776/8732 anchors) is L2Norm-rescaled the same way.
         odm_loc, odm_conf = [], []
         for i, (s, a) in enumerate(zip(tcb_outs, self.num_priors)):
+            s = L2Norm(scale_init=20.0, dtype=d, name=f"odm_norm_{i}")(s)
             b = s.shape[0]
             l = Conv(a * 4, kernel=3, padding=1, relu=False, dtype=d,
                      kernel_init=xavier_uniform(),

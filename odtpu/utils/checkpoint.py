@@ -69,7 +69,7 @@ class Checkpointer:
         return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
-def restore_partial(ckpt_dir, params, batch_stats=None):
+def restore_partial(ckpt_dir, params, batch_stats=None, step=None):
     """Partial restore of the eval-relevant TrainState fields against
     host templates — the ONE place that defines the on-disk layout of a
     step/params/batch_stats subset restore (eval.py and
@@ -80,12 +80,13 @@ def restore_partial(ckpt_dir, params, batch_stats=None):
     template = {"step": np.zeros((), np.int32), "params": params}
     if batch_stats:
         template["batch_stats"] = batch_stats
-    restored = Checkpointer(ckpt_dir).restore(template, partial=True)
+    restored = Checkpointer(ckpt_dir).restore(template, step=step,
+                                              partial=True)
     return (restored["step"], restored["params"],
             restored.get("batch_stats") or None)
 
 
-def restore_eval_variables(model, cfg, path=""):
+def restore_eval_variables(model, cfg, path="", step=None):
     """Eval-time weight resolution shared by the demos and the serving
     endpoint: `path` may be an orbax checkpoint directory, a converted
     model `.npz` (tools/convert_torch_weights.py --mode ssd — i.e. a
@@ -125,7 +126,8 @@ def restore_eval_variables(model, cfg, path=""):
         # run's optimizer chain (a checkpoint written with grad-clip on
         # previously failed to restore against a clipless template)
         step, params, batch_stats = restore_partial(
-            path, variables["params"], variables.get("batch_stats"))
+            path, variables["params"], variables.get("batch_stats"),
+            step=step)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

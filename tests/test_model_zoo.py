@@ -211,11 +211,15 @@ def test_refinedet_train_step(rng):
     labels[:, 0] = 3
     batch = shard_batch((images, boxes, labels), mesh)
     losses = []
-    for _ in range(5):
+    # 12 steps with a halving criterion: the ODM-norm'd model (L2Norm
+    # on TCB outputs) descends 39 -> ~3 over 14 steps but momentum
+    # overshoots transiently around steps 3-4, which a 5-step
+    # last<first check misreads as non-descent.
+    for _ in range(12):
         state, m = step(state, *batch)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    assert min(losses[-3:]) < 0.5 * losses[0], losses
 
 
 def test_refinedet_loss_stable_at_raw_init_scale(rng):

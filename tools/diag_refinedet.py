@@ -58,7 +58,8 @@ def main():
 
     model, priors, _ = model_factory("train", cfg)
     variables = restore_eval_variables(model, cfg,
-                                       osp.join(args.run_dir, "ckpt"))
+                                       osp.join(args.run_dir, "ckpt"),
+                                       step=args.step)
     loader = dataset_factory("eval", cfg)
 
     variances = tuple(float(v) for v in cfg.MODEL.VARIANCE)
