@@ -96,7 +96,11 @@ def photometric_distort_device(images: Array, rng: jax.Array) -> Array:
         # RandomLightingNoise, augmentations.py:125-137, draws them from
         # independent np.random calls).
         perm = _PERMS[jax.random.randint(ks[9], (), 0, 6)]
-        img_perm = jnp.take(img, perm, axis=-1)
+        # one-hot dot instead of a traced-index gather over the channel
+        # axis (TPU generic gathers lower row-at-a-time; the 3x3 0/1
+        # matmul is exact — each output channel is x*1 + 0 + 0 in f32)
+        pmat = (jnp.arange(3)[:, None] == perm[None, :]).astype(img.dtype)
+        img_perm = img @ pmat
         img = jnp.where(jax.random.bernoulli(ks[10]), img_perm, img)
         return img
 
