@@ -311,3 +311,61 @@ def test_refinedet_warm_phase_is_plain_multibox(rng):
         got = jitted(jnp.asarray(u))
         assert float(got.odm.loss_conf_sum) == float(want.odm.loss_conf_sum)
         assert float(got.odm.loss_loc_sum) == float(want.odm.loss_loc_sum)
+
+
+def test_refinedet_zero_init_is_implicit_curriculum(rng):
+    """The final contract config trains with ODM_MATCH_WARM_ITERS=0 and
+    relies on this invariant instead: arm_loc heads are ZERO-initialized
+    (models/refinedet.py), so at init the refined anchors equal the raw
+    prior grid exactly and the paper-mode ODM loss (use_refined=True)
+    degenerates to a plain SSD multibox loss — no distribution cliff,
+    targets drift only as fast as the ARM learns. Two pins:
+
+    1. model: a freshly initialized RefineDet emits arm_loc == 0.
+    2. loss: with arm_loc == 0 and an undecided ARM (logits 0 ->
+       P(bg)=0.5 < the 0.99 filter), refinedet_loss(use_refined=True)'s
+       ODM branch matches multibox_loss on the raw priors to float
+       round-trip tolerance (decode->center_size of zero offsets)."""
+    from odtpu.layers.losses import multibox_loss, refinedet_loss
+
+    # --- pin 1: zero-init arm_loc on the real (tiny) model ---
+    cfg = refinedet320_cfg(_cfg("RefineDet"))
+    cfg.DATASET.IMAGE_SIZE = (64, 64)
+    cfg.MODEL.IMAGE_SIZE = (64, 64)
+    cfg.MODEL.MIN_SIZES = [8, 16, 32, 48]
+    model, priors_m, _ = model_factory("train", cfg)
+    variables = init_model(model, cfg)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    arm_loc, _, _, _ = model.apply(variables, x, phase="train",
+                                   train=False)
+    assert float(jnp.abs(arm_loc).max()) == 0.0
+
+    # --- pin 2: loss-level degeneration to plain multibox ---
+    P, C, G, B = 128, 21, 5, 2
+    priors = np.stack([
+        rng.uniform(0.2, 0.8, P), rng.uniform(0.2, 0.8, P),
+        rng.uniform(0.1, 0.3, P), rng.uniform(0.1, 0.3, P)], 1
+    ).astype(np.float32)
+    odm_loc = (rng.randn(B, P, 4) * 0.05).astype(np.float32)
+    odm_conf = rng.randn(B, P, C).astype(np.float32)
+    boxes = np.zeros((B, G, 4), np.float32)
+    labels = np.full((B, G), -1, np.int64)
+    for i in range(B):
+        xy = rng.uniform(0, 0.5, (2, 2))
+        wh = rng.uniform(0.2, 0.4, (2, 2))
+        boxes[i, :2] = np.concatenate([xy, xy + wh], 1)
+        labels[i, :2] = rng.randint(0, 20, 2)
+
+    out = refinedet_loss(
+        jnp.zeros((B, P, 4)), jnp.zeros((B, P, 2)),
+        jnp.asarray(odm_loc), jnp.asarray(odm_conf),
+        jnp.asarray(priors), jnp.asarray(boxes), jnp.asarray(labels),
+        (0.1, 0.2), use_refined=True)
+    plain = multibox_loss(
+        jnp.asarray(odm_loc), jnp.asarray(odm_conf), jnp.asarray(priors),
+        jnp.asarray(boxes), jnp.asarray(labels), (0.1, 0.2))
+    np.testing.assert_allclose(float(out.odm.loss_conf_sum),
+                               float(plain.loss_conf_sum), rtol=1e-5)
+    np.testing.assert_allclose(float(out.odm.loss_loc_sum),
+                               float(plain.loss_loc_sum), rtol=1e-4)
+    assert int(out.odm.num_pos) == int(plain.num_pos)
