@@ -31,17 +31,21 @@ import jax.numpy as jnp
 _TARGET_GROUP = 512
 
 
-def top_k_exact(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def top_k_exact(x: jax.Array, k: int,
+                groups: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Drop-in `lax.top_k(x, k)` with identical values/indices/ties.
 
     x: [..., n]. Returns (values [..., k], indices [..., k]).
     Falls back to flat `lax.top_k` when splitting cannot win.
+    ``groups`` overrides the group-count heuristic (tools/sweep_topk.py
+    measures the sweet spot per shape on hardware).
     """
     n = x.shape[-1]
     k = int(k)
     # need per-group top-k >= k elements per group and enough groups to
     # beat the flat sort; below ~4 groups the two stages cost more
-    groups = max(1, round(n / max(2 * k + 128, _TARGET_GROUP)))
+    if groups is None:
+        groups = max(1, round(n / max(2 * k + 128, _TARGET_GROUP)))
     if groups < 4 or n < groups * k:
         return jax.lax.top_k(x, k)
     g = -(-n // groups)
