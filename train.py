@@ -84,7 +84,8 @@ def main(argv=None):
     from odtpu.models import model_factory
     from odtpu.parallel import (create_train_state, make_eval_step,
                                 make_mesh, make_train_step, shard_batch)
-    from odtpu.utils.checkpoint import Checkpointer, load_backbone_npz
+    from odtpu.utils.checkpoint import (Checkpointer, load_backbone_npz,
+                                        load_model_npz)
     from odtpu.utils.logging import TBWriter, Timer
 
     print("devices:", jax.devices())
@@ -102,10 +103,26 @@ def main(argv=None):
     state, tx = create_train_state(model, cfg, mesh=mesh)
     if args.basenet:
         from odtpu.parallel.mesh import shard_params
-        params, loaded, skipped = load_backbone_npz(
+        # Two npz schemes: converted torch backbones use bare
+        # '<conv>/kernel' keys (load_backbone_npz); full-model exports
+        # from tools/ckpt_to_npz.py use '/'-joined odtpu param paths.
+        # Full-path keys partial-load by exact path+shape, so pointing
+        # --basenet at a trained flagship export transfers exactly the
+        # shared trunk (VGG convs + L2Norm scales) into a new family —
+        # the TPU-native analog of the reference's pretrained-VGG
+        # protocol (reference train.py:79-85 partial state_dict load).
+        import numpy as _np
+        _keys = _np.load(args.basenet).files
+        _full_path = any(k.split("/")[0] in state.params for k in _keys)
+        _loader = load_model_npz if _full_path else load_backbone_npz
+        params, loaded, skipped = _loader(
             jax.device_get(state.params), args.basenet)
-        print("backbone import: {} loaded, {} skipped".format(
-            len(loaded), len(skipped)))
+        print("basenet import ({}): {} loaded, {} skipped".format(
+            "full-path" if _full_path else "backbone", len(loaded),
+            len(skipped)))
+        if not loaded:
+            raise ValueError("--basenet {} matched no parameters"
+                             .format(args.basenet))
         # re-place with the mesh layout create_train_state chose: a bare
         # device_put would drop the NamedShardings (TP layouts) while the
         # optimizer momentum buffers keep theirs
