@@ -29,6 +29,15 @@ def main():
     p.add_argument("--root", default=osp.join(REPO, "data", "synthdevkit"))
     p.add_argument("--train_images", type=int, default=3000)
     p.add_argument("--test_images", type=int, default=500)
+    p.add_argument("--min_size", type=int, default=300)
+    p.add_argument("--max_size", type=int, default=500)
+    p.add_argument("--suffix", default="",
+                   help="VOC split-name suffix (e.g. '512' writes "
+                        "synthtrain512/synthtest512) so several input "
+                        "scales coexist in one devkit — the SSD512 "
+                        "contract uses 450-750 px sources to match the "
+                        "512x512 aug geometry instead of upsampling the "
+                        "300-500 px flagship tree")
     p.add_argument("--coco", action="store_true",
                    help="emit a synthetic COCO tree (80 real category "
                         "ids, train2014 + val2014 splits) instead of "
@@ -52,13 +61,19 @@ def main():
     else:
         from synth import make_voc
         root = args.root
-        make_voc(root, year="2007", setname="synthtrain",
-                 n_images=args.train_images, seed=1,
-                 min_size=300, max_size=500)
+        # distinct seeds and id ranges per suffix so scale variants
+        # neither alias each other's files nor share image content
+        seed_base = 1 if not args.suffix else 100 + len(args.suffix)
+        id_base = 0 if not args.suffix else 700000
+        make_voc(root, year="2007", setname="synthtrain" + args.suffix,
+                 n_images=args.train_images, seed=seed_base,
+                 start_id=id_base,
+                 min_size=args.min_size, max_size=args.max_size)
         # disjoint id range so train/test never alias an image file
-        make_voc(root, year="2007", setname="synthtest",
-                 n_images=args.test_images, seed=2, start_id=500000,
-                 min_size=300, max_size=500)
+        make_voc(root, year="2007", setname="synthtest" + args.suffix,
+                 n_images=args.test_images, seed=seed_base + 1,
+                 start_id=id_base + 500000,
+                 min_size=args.min_size, max_size=args.max_size)
     print("wrote {} train + {} test images under {} in {:.1f}s".format(
         args.train_images, args.test_images, root, time.time() - t0))
 
