@@ -73,7 +73,20 @@ PROBE_TIMEOUT_S = 100
 # on-chip B=1 + 150s on-chip B=32 throughput + 240s train + 180s int8)
 # and land incrementally; the extras worker only runs once a TPU
 # primary number is banked, so killing it mid-phase loses nothing.
-GOOD_ENOUGH_IPS = 400.0  # healthy-tunnel, compute-bound: stop retrying
+# Cap the extras worker's wall time so the post-extras phase-sampling
+# loop gets real budget even when every extra runs long: partial extras
+# land incrementally and a not-yet-done extras set just gets another
+# extras worker next attempt.
+EXTRAS_TIMEOUT_S = 520
+# "healthy phase seen — stop sampling": set from measured reality, NOT
+# aspiration. The tunnel-fed envelope's best-ever is 199.4 img/s (r02)
+# and the H2D bound at the healthiest observed phase (~1.2 GB/s,
+# 0.27 MB/img, depth-1 overlap) sits just above it; the old 400.0 was
+# unreachable by construction (VERDICT r4 weak #5) so the early-stop
+# branch was dead code. 180 ≈ 90% of best-ever: any phase that clears
+# it is healthy, and further sampling is unlikely to raise the
+# envelope enough to beat banking the budget saved.
+GOOD_ENOUGH_IPS = 180.0
 
 
 def _parse_json_line(text):
@@ -204,7 +217,8 @@ def _merge_best(best, res):
               else (best, res))
     for k, v in lo.get("extra", {}).items():
         if k in ("p50_latency_ms_b1", "onchip_ms_b1", "onchip_ips_b32",
-                 "train_img_per_sec", "int8_onchip_ips_b32"):
+                 "train_img_per_sec", "train_protocol",
+                 "int8_onchip_ips_b32"):
             skipped = isinstance(v, str)
             cur = hi.setdefault("extra", {}).get(k)
             if cur is None or (isinstance(cur, str) and not skipped):
@@ -224,7 +238,15 @@ def main():
     best = None          # best TPU result
     attempt = 0
     probes_failed = 0
+    sampled = []         # every attempt's windows (tunnel phases seen)
     cpu = _CpuFallback()
+
+    def _record_phase(res, mode):
+        ws = ((res or {}).get("extra", {}) or {}).get("windows")
+        if ws:
+            sampled.append({"mode": mode,
+                            "windows": [[w.get("ips"), w.get("h2d_mbps")]
+                                        for w in ws]})
     # overlap first; fall back to serial; retry across tunnel phases
     schedule = ["overlap", "serial", "overlap", "serial", "overlap"]
     while want_tpu:
@@ -239,6 +261,7 @@ def main():
                               min(PRIMARY_TIMEOUT_S, remaining - 10),
                               platform=test_platform)
             attempt += 1
+            _record_phase(res, mode)
             best = _merge_best(best, res)
             if best is not None:
                 continue  # go straight to the extras phase
@@ -258,18 +281,24 @@ def main():
             if _extras_done(best) and best["value"] >= GOOD_ENOUGH_IPS:
                 break
             if not _extras_done(best):
-                res = _run_worker("overlap", True, remaining - 5,
+                # capped (not remaining-5): partial extras land
+                # incrementally, and the saved tail funds extra
+                # phase-sampling attempts below
+                res = _run_worker("overlap", True,
+                                  min(EXTRAS_TIMEOUT_S, remaining - 5),
                                   platform=test_platform)
+                _record_phase(res, "overlap+extras")
             else:
                 # extras banked but the headline is still tunnel-bound:
                 # spend the leftover budget sampling more tunnel phases
                 # with short extras-free attempts — the headline is an
                 # envelope (best window, best attempt), so every extra
                 # phase sampled can only raise it
-                res = _run_worker(schedule[attempt % len(schedule)],
-                                  False,
+                mode = schedule[attempt % len(schedule)]
+                res = _run_worker(mode, False,
                                   min(PRIMARY_TIMEOUT_S, remaining - 10),
                                   platform=test_platform)
+                _record_phase(res, mode)
             attempt += 1
             best = _merge_best(best, res)
     if best is None:
@@ -283,6 +312,19 @@ def main():
                 "unit": "img/s", "vs_baseline": 0.0,
                 "extra": {"error": "all bench workers failed"}}
     best.setdefault("extra", {})["attempts"] = attempt
+    # phase-sampling instrumentation (VERDICT r4 next #7): every tunnel
+    # phase the envelope saw, not just the winning attempt's windows —
+    # [ips, h2d_mbps] pairs per attempt so the record shows WHY the
+    # headline is what it is (tunnel-bound vs compute-bound phases)
+    best["extra"]["phases_sampled"] = len(sampled)
+    best["extra"]["windows_sampled"] = sum(
+        len(s["windows"]) for s in sampled)
+    if sampled:
+        best["extra"]["phase_windows"] = sampled
+    if (isinstance(best.get("value"), (int, float))
+            and best["value"] >= GOOD_ENOUGH_IPS):
+        best["extra"]["early_stop"] = \
+            "healthy phase >= {} img/s".format(GOOD_ENOUGH_IPS)
     if probes_failed:
         best["extra"]["tunnel_probes_failed"] = probes_failed
     print(json.dumps(best))
@@ -560,10 +602,22 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
     # first: no round's driver record has ever captured the on-chip /
     # int8 numbers (round-3 verdict weak #4), while p50_latency and
     # train throughput were captured in rounds 1-2.
+    def _train_extra():
+        ips = round(_train_throughput(cfg), 1)
+        # disclose the measurement protocol next to the number: chained
+        # steps, ONE host sync per chain — the same RTT-free method as
+        # the on-chip eval extras (VERDICT r4 weak #1: the old per-step
+        # float() read billed one ~30 ms tunnel RTT to every train step,
+        # recording 400 img/s where tools/profile_train.py measures 562)
+        out["train_protocol"] = ("chained: 10 steps per jit via "
+                                 "fori_loop state carry, 1 float() sync "
+                                 "per chain (RTT-free, matches "
+                                 "tools/profile_train.py)")
+        return ips
+
     plan = [("onchip_ips_b32", _b32_onchip_ips, 150),
             ("onchip_ms_b1", _b1_onchip, 120),
-            ("train_img_per_sec",
-             lambda: round(_train_throughput(cfg), 1), 240),
+            ("train_img_per_sec", _train_extra, 240),
             ("p50_latency_ms_b1", _b1_latency, 120)]
     if infer_fn_q is not None:
         plan.insert(1, ("int8_onchip_ips_b32", _b32_int8_ips, 180))
@@ -577,17 +631,24 @@ def _extras(cfg, model, variables, priors_d, mean_dev, variances, raw,
     return out
 
 
-def _train_throughput(cfg, B=32, iters=10):
-    """SSD300 bf16 train-step throughput (device-photometric pipeline).
-    NOTE: on the axon tunnel block_until_ready can return early; a
-    float() read of the loss is the reliable sync."""
+def _train_throughput(cfg, B=32, n_chain=10, reps=2):
+    """SSD300 bf16 train-step throughput (device-photometric pipeline),
+    RTT-free: n_chain full train steps run inside ONE jit — the
+    TrainState threads through a fori_loop carry, so no step can be
+    hoisted or overlapped away — and the host syncs once per chain on a
+    float() read of the accumulated loss (on the axon tunnel
+    block_until_ready can return early; a scalar read is the reliable
+    sync). This matches tools/profile_train.py's protocol; the old
+    per-step float() loop paid one tunnel RTT per step and undercounted
+    562 -> 400 img/s (VERDICT r4 weak #1)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from odtpu.models import model_factory
     from odtpu.parallel import (create_train_state, make_mesh,
                                 make_train_step, shard_batch)
     if jax.default_backend() != "tpu":
-        B = 4
+        B, n_chain, reps = 4, 4, 1
     cfg.DATASET.DEVICE_PHOTOMETRIC = True
     cfg.TRAIN.OPTIMIZER.LR = 1e-5
     model, priors, _ = model_factory("train", cfg)
@@ -601,13 +662,23 @@ def _train_throughput(cfg, B=32, iters=10):
     labels = np.full((B, 60), -1, np.int32)
     labels[:, 0] = 3
     batch = shard_batch((imgs, boxes, labels), mesh)
-    state, m = step(state, *batch)
-    float(m["loss"])  # compile + sync
+
+    @jax.jit
+    def chained(state, imgs, boxes, labels):
+        def body(i, carry):
+            st, acc = carry
+            st, m = step(st, imgs, boxes, labels)
+            return st, acc + m["loss"]
+        return jax.lax.fori_loop(
+            0, n_chain, body, (state, jnp.float32(0.0)))
+
+    state2, acc = chained(state, *batch)
+    float(acc)  # compile + sync
     t0 = time.time()
-    for _ in range(iters):
-        state, m = step(state, *batch)
-        float(m["loss"])
-    return iters * B / (time.time() - t0)
+    for _ in range(reps):
+        state2, acc = chained(state2, *batch)
+        float(acc)
+    return reps * n_chain * B / (time.time() - t0)
 
 
 if __name__ == "__main__":

@@ -13,7 +13,11 @@ same method as tools/profile_eval.py.
 from __future__ import annotations
 
 import argparse
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 from odtpu.utils.platform import apply_platform_env
 
