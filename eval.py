@@ -59,18 +59,27 @@ def main(argv=None):
 
     if args.model_npz:
         # converted reference checkpoint (tools/convert_torch_weights.py
-        # --mode ssd): the route for evaluating a reference-trained .pth
-        # without torch at runtime
+        # --mode ssd) or a ckpt_to_npz export: the route for evaluating
+        # a persisted artifact without orbax/torch at runtime. Carries
+        # BN batch_stats when present (__batch_stats__/ namespace) —
+        # required for the BN-heavy families (RFBNet/FSSD/DRN).
         from odtpu.parallel.mesh import shard_params
-        from odtpu.utils.checkpoint import load_model_npz
-        params, loaded, skipped = load_model_npz(
-            jax.device_get(state.params), args.model_npz)
+        from odtpu.utils.checkpoint import load_variables_npz
+        host_vars = {"params": jax.device_get(state.params)}
+        if state.batch_stats:
+            host_vars["batch_stats"] = jax.device_get(state.batch_stats)
+        new_vars, loaded, skipped = load_variables_npz(
+            host_vars, args.model_npz)
         print("model import: {} loaded, {} skipped".format(
             len(loaded), len(skipped)))
         if skipped:
             print("  skipped:", ", ".join(skipped[:8]),
                   "..." if len(skipped) > 8 else "")
-        state = state.replace(params=shard_params(params, mesh))
+        state = state.replace(
+            params=shard_params(new_vars["params"], mesh),
+            batch_stats=(shard_params(new_vars["batch_stats"], mesh)
+                         if "batch_stats" in new_vars
+                         else state.batch_stats))
     else:
         ckpt_dir = args.ckpt or osp.join(cfg.GENERAL.WEIGHTS_ROOT,
                                          args.job_group, args.cfg_name,

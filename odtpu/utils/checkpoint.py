@@ -99,7 +99,7 @@ def restore_eval_variables(model, cfg, path="", step=None):
     from ..models import init_model
     variables = init_model(model, cfg)
     if path and osp.isfile(path) and path.endswith(".npz"):
-        params, loaded, skipped = load_model_npz(variables["params"], path)
+        variables, loaded, skipped = load_variables_npz(variables, path)
         if not loaded:
             # every key mismatched: almost certainly an .npz converted
             # for a different model family — serving random init while
@@ -109,7 +109,6 @@ def restore_eval_variables(model, cfg, path="", step=None):
                 "({} keys skipped); was it converted for a different "
                 "MODEL.SSD_TYPE/BASE?".format(
                     path, cfg.MODEL.SSD_TYPE, len(skipped)))
-        variables = dict(variables, params=params)
         print("model npz import: {} loaded, {} skipped".format(
             len(loaded), len(skipped)))
     elif path and osp.isfile(path):
@@ -138,6 +137,12 @@ def restore_eval_variables(model, cfg, path="", step=None):
     return variables
 
 
+# ckpt_to_npz.py carries BN running stats under this reserved key
+# namespace; load_model_npz (params-only consumers, e.g. --basenet
+# trunk transfer) ignores it, load_variables_npz restores it.
+BATCH_STATS_PREFIX = "__batch_stats__/"
+
+
 def load_model_npz(params, npz_path):
     """Merge a full converted model checkpoint into a param tree.
 
@@ -151,6 +156,8 @@ def load_model_npz(params, npz_path):
     flat = flax.traverse_util.flatten_dict(params)
     loaded, skipped = [], []
     for key in data.files:
+        if key.startswith(BATCH_STATS_PREFIX):
+            continue  # not a param; see load_variables_npz
         path = tuple(key.split("/"))
         if path in flat and flat[path].shape == data[key].shape:
             flat[path] = data[key].astype(flat[path].dtype)
@@ -158,6 +165,31 @@ def load_model_npz(params, npz_path):
         else:
             skipped.append(key)
     return flax.traverse_util.unflatten_dict(flat), loaded, skipped
+
+
+def load_variables_npz(variables, npz_path):
+    """Restore an eval-time variables dict from a ckpt_to_npz export:
+    params by '/'-joined path plus BN batch_stats carried under the
+    BATCH_STATS_PREFIX namespace (BN-heavy families — RFBNet / FSSD /
+    DRN — are not reproducible from params alone; init running stats
+    give garbage eval). Returns (variables, loaded, skipped)."""
+    import flax
+    params, loaded, skipped = load_model_npz(variables["params"], npz_path)
+    out = dict(variables, params=params)
+    if "batch_stats" in variables:
+        data = np.load(npz_path)
+        flat = flax.traverse_util.flatten_dict(variables["batch_stats"])
+        for key in data.files:
+            if not key.startswith(BATCH_STATS_PREFIX):
+                continue
+            path = tuple(key[len(BATCH_STATS_PREFIX):].split("/"))
+            if path in flat and flat[path].shape == data[key].shape:
+                flat[path] = data[key].astype(flat[path].dtype)
+                loaded.append(key)
+            else:
+                skipped.append(key)
+        out["batch_stats"] = flax.traverse_util.unflatten_dict(flat)
+    return out, loaded, skipped
 
 
 def load_backbone_npz(params, npz_path, backbone_key="backbone"):

@@ -258,3 +258,49 @@ def test_full_forward_runs_and_regresses(loaded_params):
     assert bool(jnp.all(jnp.isfinite(loc)))
     loc2, _ = model.apply({"params": params}, x, phase="eval", train=False)
     np.testing.assert_array_equal(np.asarray(loc), np.asarray(loc2))
+
+
+def test_batch_stats_npz_namespace(tmp_path):
+    """ckpt_to_npz carries BN running stats under __batch_stats__/ keys:
+    load_variables_npz restores them (BN-heavy families — RFBNet/FSSD/
+    DRN — are not reproducible from params alone), while params-only
+    consumers (load_model_npz, i.e. train.py --basenet trunk transfer)
+    must ignore the namespace without counting it as skipped."""
+    import flax.linen as nn
+
+    from odtpu.utils.checkpoint import (BATCH_STATS_PREFIX,
+                                        load_variables_npz)
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3), name="stem")(x)
+            return nn.BatchNorm(use_running_average=not train,
+                                name="bn")(x)
+
+    v = jax.device_get(flax.core.unfreeze(TinyBN().init(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 8, 3), np.float32))))
+    flat_p = flax.traverse_util.flatten_dict(v["params"])
+    flat_b = flax.traverse_util.flatten_dict(v["batch_stats"])
+    out = {"/".join(k): np.asarray(x) for k, x in flat_p.items()}
+    # mark the stats so restoring init-identical zeros can't pass
+    out.update({BATCH_STATS_PREFIX + "/".join(k):
+                np.full_like(np.asarray(x), 0.75)
+                for k, x in flat_b.items()})
+    path = str(tmp_path / "bn.npz")
+    np.savez_compressed(path, **out)
+
+    params, loaded, skipped = load_model_npz(v["params"], path)
+    assert len(loaded) == len(flat_p) and not skipped
+
+    fresh = jax.tree.map(np.zeros_like, v)
+    nv, loaded, skipped = load_variables_npz(fresh, path)
+    assert not skipped
+    assert len(loaded) == len(flat_p) + len(flat_b)
+    for leaf in jax.tree.leaves(nv["batch_stats"]):
+        np.testing.assert_allclose(np.asarray(leaf), 0.75)
+    for (k, a), (_, b) in zip(
+            sorted(flax.traverse_util.flatten_dict(
+                nv["params"]).items()),
+            sorted(flat_p.items())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

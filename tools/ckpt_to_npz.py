@@ -51,12 +51,19 @@ def main(argv=None):
     cfg = load_cfg(args.cfg)
     model, _, _ = model_factory("eval", cfg)
     variables = restore_eval_variables(model, cfg, args.ckpt)
-    if "batch_stats" in variables:
-        print("WARNING: model has batch_stats, which --model_npz does "
-              "not carry; eval from this .npz will use init stats")
     flat = flax.traverse_util.flatten_dict(variables["params"])
     out = {"/".join(k): np.asarray(v).astype(args.dtype)
            for k, v in flat.items()}
+    if "batch_stats" in variables:
+        # BN-heavy families (RFBNet/FSSD/DRN) are not reproducible from
+        # params alone — init running stats give garbage eval. Carry
+        # them under a reserved key namespace; load_variables_npz
+        # restores them, load_model_npz ignores them.
+        bs = flax.traverse_util.flatten_dict(variables["batch_stats"])
+        out.update({"__batch_stats__/" + "/".join(k):
+                    np.asarray(v).astype(args.dtype)
+                    for k, v in bs.items()})
+        print("carrying {} batch_stats arrays".format(len(bs)))
     os.makedirs(osp.dirname(osp.abspath(args.out)), exist_ok=True)
     np.savez_compressed(args.out, **out)
     nbytes = sum(v.nbytes for v in out.values())

@@ -108,12 +108,21 @@ def main(argv=None):
         # from tools/ckpt_to_npz.py use '/'-joined odtpu param paths.
         # Full-path keys partial-load by exact path+shape, so pointing
         # --basenet at a trained flagship export transfers exactly the
-        # shared trunk (VGG convs + L2Norm scales) into a new family —
-        # the TPU-native analog of the reference's pretrained-VGG
-        # protocol (reference train.py:79-85 partial state_dict load).
+        # shared trunk (the 15 VGG convs; L2Norm scales keep their
+        # 10/8 inits — the export names the flagship's 'l2norm/scale'
+        # while e.g. RefineDet names its norms 'l2norm_4_3') into a new
+        # family — the TPU-native analog of the reference's
+        # pretrained-VGG protocol (train.py:79-85 partial state_dict
+        # load). Scheme detection is structural: backbone exports are
+        # 2-segment '<conv>/<leaf>' keys, full-path exports are >=3
+        # segments — one coincidental top-level key must not flip the
+        # mode (a bare-backbone npz with a stray key would silently
+        # skip every conv in full-path mode).
         import numpy as _np
-        _keys = _np.load(args.basenet).files
-        _full_path = any(k.split("/")[0] in state.params for k in _keys)
+        with _np.load(args.basenet) as _data:
+            _keys = list(_data.files)
+        _full_path = (sum(len(k.split("/")) >= 3 for k in _keys)
+                      > len(_keys) // 2)
         _loader = load_model_npz if _full_path else load_backbone_npz
         params, loaded, skipped = _loader(
             jax.device_get(state.params), args.basenet)
@@ -121,8 +130,12 @@ def main(argv=None):
             "full-path" if _full_path else "backbone", len(loaded),
             len(skipped)))
         if not loaded:
-            raise ValueError("--basenet {} matched no parameters"
-                             .format(args.basenet))
+            raise ValueError(
+                "--basenet {} matched no parameters (detected {} "
+                "scheme; sample npz keys: {})".format(
+                    args.basenet,
+                    "full-path" if _full_path else "backbone",
+                    ", ".join(skipped[:5])))
         # re-place with the mesh layout create_train_state chose: a bare
         # device_put would drop the NamedShardings (TP layouts) while the
         # optimizer momentum buffers keep theirs
