@@ -238,6 +238,7 @@ def main():
     best = None          # best TPU result
     attempt = 0
     probes_failed = 0
+    early_stop = False
     sampled = []         # every attempt's windows (tunnel phases seen)
     cpu = _CpuFallback()
 
@@ -279,6 +280,7 @@ def main():
             # (the extras worker re-prints it first and lands each
             # extra incrementally; a mid-phase kill keeps the partials)
             if _extras_done(best) and best["value"] >= GOOD_ENOUGH_IPS:
+                early_stop = True
                 break
             if not _extras_done(best):
                 # capped (not remaining-5): partial extras land
@@ -321,10 +323,10 @@ def main():
         len(s["windows"]) for s in sampled)
     if sampled:
         best["extra"]["phase_windows"] = sampled
-    if (isinstance(best.get("value"), (int, float))
-            and best["value"] >= GOOD_ENOUGH_IPS):
+    if early_stop:
         best["extra"]["early_stop"] = \
-            "healthy phase >= {} img/s".format(GOOD_ENOUGH_IPS)
+            "healthy phase >= {} img/s with extras banked".format(
+                GOOD_ENOUGH_IPS)
     if probes_failed:
         best["extra"]["tunnel_probes_failed"] = probes_failed
     print(json.dumps(best))
