@@ -22,6 +22,8 @@ TPU-shaped equivalent of that sort's top-k prefix.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -45,7 +47,14 @@ def top_k_exact(x: jax.Array, k: int,
     # need per-group top-k >= k elements per group and enough groups to
     # beat the flat sort; below ~4 groups the two stages cost more
     if groups is None:
-        groups = max(1, round(n / max(2 * k + 128, _TARGET_GROUP)))
+        # trace-time override for hardware A/Bs (0 = flat lax.top_k):
+        # lets tools/profile_eval.py time the REAL detect graph under
+        # either strategy without a code edit
+        env = os.environ.get("ODTPU_TOPK_GROUPS")
+        if env is not None:
+            groups = int(env)
+        else:
+            groups = max(1, round(n / max(2 * k + 128, _TARGET_GROUP)))
     if groups < 4 or n < groups * k:
         return jax.lax.top_k(x, k)
     g = -(-n // groups)

@@ -52,8 +52,13 @@ def main():
         def chained(x0):
             def body(i, carry):
                 xc, acc = carry
-                v, _ = one(xc)
-                s = jnp.sum(v[:, 0])
+                v, idx = one(xc)
+                # consume BOTH outputs: the detect path gathers boxes
+                # by the returned indices, so a values-only carry would
+                # let XLA DCE the index side and flatter whichever
+                # variant computes indices lazily
+                s = jnp.sum(v[:, 0]) + jnp.sum(idx[:, 0]).astype(
+                    jnp.float32) * 1e-12
                 return xc + s * 1e-30, acc + s
             return jax.lax.fori_loop(0, args.chain, body, (x0, 0.0))[1]
 
