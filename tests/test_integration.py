@@ -101,6 +101,44 @@ def test_resume_continues_step(workspace, capsys):
     assert "done at iter 6" in captured
 
 
+def test_resume_argv_strips_basenet_and_old_resume():
+    import train as train_mod
+    argv = ["--cfg", "a.yml", "--basenet", "w.npz", "--resume=/old",
+            "--cfg_name", "x", "--basenet=other.npz"]
+    out = train_mod._resume_argv(argv, "/run/ckpt")
+    assert out == ["--cfg", "a.yml", "--cfg_name", "x",
+                   "--resume", "/run/ckpt"]
+
+
+def test_rss_guard_reexecs_with_resume(workspace, capsys, monkeypatch):
+    """--max_rss_gb below any real process RSS must trigger the save +
+    re-exec path at the first SAVE_ITER: os.execv is called with the
+    original argv minus --basenet/--resume plus --resume <run ckpt>."""
+    root, cfg_path = workspace
+    import train as train_mod
+    calls = {}
+
+    class _Exec(Exception):
+        pass
+
+    def fake_execv(exe, argv):
+        calls["exe"], calls["argv"] = exe, argv
+        raise _Exec()
+
+    monkeypatch.setattr(train_mod.os, "execv", fake_execv)
+    out_dir = str(root / "out_rss")
+    with pytest.raises(_Exec):
+        train_mod.main(["--cfg", cfg_path, "--cfg_name", "smoke",
+                        "--output_dir", out_dir, "--max_rss_gb", "0.01"])
+    captured = capsys.readouterr().out
+    assert "re-exec with --resume at iter 2" in captured
+    assert calls["exe"] == sys.executable
+    assert calls["argv"][-2:] == ["--resume", osp.join(out_dir, "ckpt")]
+    assert "--max_rss_gb" in calls["argv"]  # original args preserved
+    # the checkpoint the re-exec will resume from exists
+    assert osp.isdir(osp.join(out_dir, "ckpt", "2"))
+
+
 @pytest.fixture(scope="module")
 def coco_workspace(tmp_path_factory):
     from synth import make_coco

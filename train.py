@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
+import sys
 
 import jax
 import numpy as np
@@ -43,7 +44,41 @@ def parse_args(argv=None):
                         "DCN training; each host loads its data shard)")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of steps 10-20")
+    p.add_argument("--max_rss_gb", type=float,
+                   default=float(os.environ.get("ODTPU_MAX_RSS_GB", 64)),
+                   help="host-RSS ceiling: at the next SAVE_ITER past "
+                        "this, save and re-exec with --resume (the axon "
+                        "tunnel retains H2D staging memory ~= bytes "
+                        "transferred; a 6k-iter SSD512 run was OOM-"
+                        "killed at 130 GB — tools/probe_h2d_leak.py). "
+                        "0 disables.")
     return p.parse_args(argv)
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / (1024.0 ** 2)
+    return 0.0
+
+
+def _resume_argv(argv, ckpt_dir):
+    """argv with any --basenet/--resume (space or '=' form) stripped and
+    --resume <ckpt_dir> appended: the checkpoint carries the full
+    TrainState, so a re-exec must not re-apply the basenet import."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--basenet", "--resume"):
+            skip = True
+            continue
+        if a.startswith("--basenet=") or a.startswith("--resume="):
+            continue
+        out.append(a)
+    return out + ["--resume", ckpt_dir]
 
 
 def setup(args):
@@ -244,6 +279,27 @@ def main(argv=None):
             if it % save_every == 0 or it == max_iter:
                 ckpt.save(it, state)
                 print("saved checkpoint at", it)
+                if (args.max_rss_gb and it < max_iter
+                        and not args.multihost
+                        and _rss_gb() > args.max_rss_gb):
+                    # Host RSS grows ~linearly with bytes shipped to the
+                    # device on this tunnel (staging retention measured
+                    # by tools/probe_h2d_leak.py; the first ssd512_ft
+                    # run died at 130 GB anon RSS, iter 4960). The save
+                    # above is synchronous and resume is proven
+                    # bit-deterministic (BENCH_NOTES round-3 crash/
+                    # resume), so replace the process image in place:
+                    # execv frees every leaked page while keeping one
+                    # train.py invocation == one contract run.
+                    print("RSS {:.1f} GB > --max_rss_gb {:.0f}; "
+                          "re-exec with --resume at iter {}".format(
+                              _rss_gb(), args.max_rss_gb, it), flush=True)
+                    tb.close()
+                    new_argv = _resume_argv(
+                        list(argv) if argv is not None else sys.argv[1:],
+                        osp.join(out_dir, "ckpt"))
+                    os.execv(sys.executable,
+                             [sys.executable, sys.argv[0]] + new_argv)
                 # reset the throughput window: save time isn't step time
                 last_log_iter, last_log_time = it, time.time()
             if it % eval_every == 0 or it == max_iter:
