@@ -104,10 +104,11 @@ class EvalBase:
                             "dropped_dets": n_dropped}
         if n_dropped:
             import sys
+            cap = int(self.cfg.EVAL.COMPACT_ROWS) or int(self.cfg.EVAL.TOP_K)
             print("WARNING: compact eval transport dropped {} detections "
-                  "beyond the {}-per-image cross-class cap; set "
-                  "EVAL.COMPACT=False for the dense reference contract"
-                  .format(n_dropped, self.cfg.EVAL.TOP_K),
+                  "beyond the {}-per-image cross-class cap; raise "
+                  "EVAL.COMPACT_ROWS (or set EVAL.COMPACT=False for the "
+                  "dense reference contract)".format(n_dropped, cap),
                   file=sys.stderr)
         return self.evaluate_stats(tb_writer)
 

@@ -283,7 +283,11 @@ def make_eval_step(model, priors, cfg, mesh=None, compact=None):
                                row_compact=not compact)
         if not compact:
             return dense
-        rows = compact_rows(dense, top_k)
+        # cross-class row budget: EVAL.COMPACT_ROWS widens the transport
+        # where the TOP_K cap measurably binds (SSD512 geometry) while
+        # keeping the D2H copy tiny; 0 = TOP_K (SSD300 never binds it)
+        rows_cap = int(cfg.EVAL.COMPACT_ROWS) or top_k
+        rows = compact_rows(dense, rows_cap)
         n_dense = jnp.sum(dense[..., 0] > 0, axis=(1, 2), dtype=jnp.int32)
         n_kept = jnp.sum(rows[..., 0] > 0, axis=1, dtype=jnp.int32)
         return {"rows": rows, "dropped": n_dense - n_kept}

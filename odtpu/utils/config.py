@@ -199,6 +199,13 @@ def default_cfg() -> AttrDict:
     # cap (the reference's own filter, detection.py:60-63, is a no-op
     # bug); the evaluator reports any detections the cap discarded.
     C.EVAL.COMPACT = True
+    # cross-class row budget of the compact transport; 0 = EVAL.TOP_K.
+    # At SSD300 geometry the 200-row cap never binds (measured
+    # dropped_dets 0, BENCH_NOTES round-3); at SSD512 (24,564 priors) a
+    # trained model emits >200 conf>0.01 survivors on some images
+    # (dropped 14/500 images in the r5 contract run) — widen the cap
+    # instead of falling back to the dense tensor.
+    C.EVAL.COMPACT_ROWS = 0
 
     return C
 

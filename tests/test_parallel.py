@@ -139,6 +139,42 @@ def test_spatial_partitioning_mesh(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_eval_compact_rows_budget(rng):
+    """EVAL.COMPACT_ROWS widens the compact transport at geometries
+    where the TOP_K cross-class cap binds (SSD512: measured 14 dropped
+    dets): rows shape honors the budget, the first TOP_K rows stay
+    bit-identical to the default cap (same cross-class ranking), and
+    the self-audit 'dropped' counter shrinks by exactly the extra rows
+    kept."""
+    from odtpu.parallel import make_eval_step
+    cfg = tiny_cfg()
+    cfg.EVAL.TOP_K = 40  # small per-class cap; untrained net -> many
+    # ~uniform-softmax survivors, so the cross-class cap binds
+    model, priors, _ = model_factory("train", cfg)
+    mesh = make_mesh(cfg)
+    state, _ = create_train_state(model, cfg, rng=jax.random.PRNGKey(5),
+                                  mesh=mesh)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+
+    out_def = make_eval_step(model, priors, cfg, mesh=mesh)(
+        state.params, state.batch_stats, images)
+    cfg.EVAL.COMPACT_ROWS = 90
+    out_wide = make_eval_step(model, priors, cfg, mesh=mesh)(
+        state.params, state.batch_stats, images)
+
+    rows_def = np.asarray(out_def["rows"])
+    rows_wide = np.asarray(out_wide["rows"])
+    assert rows_def.shape[1] == 40 and rows_wide.shape[1] == 90
+    np.testing.assert_array_equal(rows_wide[:, :40], rows_def)
+    d_def = np.asarray(out_def["dropped"])
+    d_wide = np.asarray(out_wide["dropped"])
+    assert d_def.sum() > 0  # the small cap must actually bind here
+    kept_def = (rows_def[..., 0] > 0).sum()
+    kept_wide = (rows_wide[..., 0] > 0).sum()
+    assert d_def.sum() - d_wide.sum() == kept_wide - kept_def
+    assert (d_wide <= d_def).all()
+
+
 def test_sgd_matches_torch_semantics():
     """wd -> momentum -> lr ordering identical to torch.optim.SGD."""
     cfg = tiny_cfg()
