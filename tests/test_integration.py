@@ -101,6 +101,27 @@ def test_resume_continues_step(workspace, capsys):
     assert "done at iter 6" in captured
 
 
+def test_auto_resume_fresh_then_continue(workspace, capsys):
+    """--auto_resume: first run starts fresh (no checkpoint yet), the
+    identical re-run picks up the saved step — what makes a queued
+    contract command idempotent under the supervisor's stall-kill."""
+    root, cfg_path = workspace
+    import train as train_mod
+    out_dir = str(root / "out_auto")
+    train_mod.main(["--cfg", cfg_path, "--cfg_name", "smoke",
+                    "--output_dir", out_dir, "--auto_resume"])
+    first = capsys.readouterr().out
+    assert "auto-resume" not in first
+    assert "done at iter 4" in first
+    train_mod.main(["--cfg", cfg_path, "--cfg_name", "smoke",
+                    "--output_dir", out_dir, "--auto_resume",
+                    "--max_iter", "6"])
+    second = capsys.readouterr().out
+    assert "auto-resume: checkpoint found" in second
+    assert "resumed at step 4" in second
+    assert "done at iter 6" in second
+
+
 def test_resume_argv_strips_basenet_and_old_resume():
     import train as train_mod
     argv = ["--cfg", "a.yml", "--basenet", "w.npz", "--resume=/old",

@@ -34,6 +34,13 @@ def parse_args(argv=None):
                    "(run naming derives from it unless "
                    "--cfg_name/--job_group are also given)")
     p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from <output_dir>/ckpt when a checkpoint "
+                        "exists there, else start fresh (honoring "
+                        "--basenet). Makes a queued contract run "
+                        "idempotent: a supervisor can kill a wedged "
+                        "process and re-run the identical command "
+                        "without losing completed iterations.")
     p.add_argument("--basenet", default="",
                    help="converted backbone weights .npz")
     p.add_argument("--output_dir", default="")
@@ -113,6 +120,11 @@ def main(argv=None):
         print("process {}/{}".format(jax.process_index(),
                                      jax.process_count()))
     cfg, out_dir, log_dir = setup(args)
+    if args.auto_resume and not args.resume:
+        _ck = osp.join(out_dir, "ckpt")
+        if osp.isdir(_ck) and any(s.isdigit() for s in os.listdir(_ck)):
+            args.resume = _ck
+            print("auto-resume: checkpoint found under", _ck)
 
     from odtpu.data import dataset_factory
     from odtpu.eval import eval_solver_factory
